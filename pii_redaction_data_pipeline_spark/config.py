@@ -1,0 +1,56 @@
+"""Pipeline configuration: the fixed drop-reason taxonomy and thresholds.
+
+The taxonomy mirrors the reference's implicit quality verdict (a document
+"succeeded"/"failed" per Textract/Comprehend job; failures counted in the
+Manifest's UnprocessedFilesCount — reference backend/src/lambda/
+textract-bulk.py:103-105, pii-output.py:91-93) generalized into explicit
+Gopher/C4-style reasons. Thresholds are config, not code, so fixtures and
+production can diverge without touching operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Fixed, ordered drop-reason taxonomy (order = evaluation precedence and
+# the deterministic order of the drop_reasons array).
+DROP_REASONS: tuple[str, ...] = (
+    "lang",
+    "too_short",
+    "too_long",
+    "symbol_ratio",
+    "repetition",
+    "high_ppl",
+    "duplicate_turn",
+    "tool_loop",
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # language gate — generalizes the reference's hardcoded
+    # LanguageCode='en' (backend/src/lambda/pii-detection.py:88)
+    allowed_langs: tuple[str, ...] = ("en",)
+    lang_min_conf: float = 0.65  # below this, benefit of the doubt: keep
+
+    # Gopher/C4-style heuristics
+    min_chars: int = 10
+    min_words: int = 3
+    max_chars: int = 8000
+    max_symbol_ratio: float = 0.30  # non-alnum non-space chars / non-space chars
+    max_top3gram_frac: float = 0.30  # chars covered by the most common word-3gram
+
+    # perplexity gate (char-trigram KN model; only applied to lang == 'en').
+    # Calibrated on fixtures: clean English tops out ~16, consonant
+    # gibberish bottoms out ~75 — 30 sits safely between.
+    max_ppl: float = 30.0
+
+    # conversation-window rules
+    tool_loop_min_run: int = 3  # >= this many identical consecutive tool turns
+
+    # execution knobs
+    n_buckets: int = 16  # output partition buckets on conv_id
+    salt_buckets: int = 8  # salting factor for skewed conv_id repartition
+    target_partition_bytes: int = 128 * 1024 * 1024
+
+    extra: dict = field(default_factory=dict)

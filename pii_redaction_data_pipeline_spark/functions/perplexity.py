@@ -1,0 +1,151 @@
+"""Kneser-Ney smoothed character-trigram language model + perplexity UDF.
+
+Replaces the reference's "quality verdict by external service success"
+(SURVEY.md D5) with an explicit fluency score. The model is trained at
+build time on a small embedded English corpus (no network, no external
+artifacts), producing a dense [V,V,V] float32 log-prob table (~400 KB)
+that is broadcast to executors — the north rule's "broadcast model
+artifacts" pattern. Scoring is numpy table lookups over byte-encoded
+text; the only per-row Python is one str.encode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# closed alphabet: letters, digits, space, common punctuation, OOV bucket
+ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 .,!?'-:;\"()"
+OOV = len(ALPHABET)
+V = len(ALPHABET) + 1
+_DISCOUNT = 0.75
+
+_BYTE_TO_ID = np.full(256, OOV, dtype=np.int32)
+for _i, _c in enumerate(ALPHABET):
+    _BYTE_TO_ID[ord(_c)] = _i
+for _u, _l in zip(b"ABCDEFGHIJKLMNOPQRSTUVWXYZ", b"abcdefghijklmnopqrstuvwxyz"):
+    _BYTE_TO_ID[_u] = _BYTE_TO_ID[_l]
+
+# Embedded training corpus: ordinary English prose in the register the
+# pipeline is expected to keep (support/agent transcripts + generic prose).
+TRAIN_CORPUS = """
+hello, how can i help you today? i am happy to look into that for you.
+thanks for reaching out. could you share a little more detail about the
+problem you are seeing? i understand the order has not arrived yet and
+that is frustrating. let me check the status of your account right now.
+the data pipeline finished the nightly run and all of the tables were
+written without errors. we filter each record, score the text for
+quality, and keep only the rows that pass every rule. the quick brown
+fox jumps over the lazy dog while the calm river flows past the old
+stone bridge. she opened the window to let the morning light fill the
+quiet room. the team reviewed the report and agreed on the next steps
+for the release. please restart the service and tell me whether the
+error message still appears on the screen. you can update your payment
+method from the settings page after you sign in. the model reads each
+turn of the conversation and decides whether to keep it or drop it.
+a long walk in the park is a simple way to clear the mind after work.
+the library was silent except for the soft sound of turning pages.
+we measured the time taken by each stage and found the slowest step.
+if the test passes at small scale we run the same job on the full
+cluster and compare the results. the weather today is mild with a light
+wind from the west and clear skies expected in the evening. thank you
+for your patience while we look into this issue. i have refunded the
+charge and you should see it within three business days. the children
+played in the garden until the sun went down behind the hills. good
+writing is clear, direct, and easy to read aloud. the server logs show
+a spike in traffic just before the outage began. every sentence in the
+training set is plain english with normal punctuation and spacing.
+is there anything else i can help you with today? have a great day.
+tool output for the search returned 12 items with status complete.
+the query found 345 rows in 678 ms and wrote 90 files to the table.
+order 12345 was shipped on 2024 01 02 and arrived in 3 business days.
+result of the check: 7 passed, 0 failed, 1 skipped, run time 456 ms.
+the exec step finished with code 0 and printed 89 lines of output.
+""".strip()
+
+
+def _ids(text: str) -> np.ndarray:
+    return _BYTE_TO_ID[np.frombuffer(text.encode("latin-1", "replace"), dtype=np.uint8)]
+
+
+class CharTrigramLM:
+    """Interpolated Kneser-Ney char-trigram LM with a dense log-prob table."""
+
+    def __init__(self, corpus: str):
+        ids = _ids(" " + corpus.lower().replace("\n", " ") + " ")
+        tri = np.zeros((V, V, V), dtype=np.float64)
+        np.add.at(tri, (ids[:-2], ids[1:-1], ids[2:]), 1.0)
+
+        bi_cont = (tri > 0).sum(axis=0).astype(np.float64)  # N1+(. w2 w3)
+        uni_cont = (bi_cont > 0).sum(axis=0).astype(np.float64)  # N1+(. . w3)
+        n_bigram_types = max(uni_cont.sum(), 1.0)
+
+        # unigram continuation probability, add-1 on types for full support
+        p_uni = (uni_cont + 1.0) / (n_bigram_types + V)
+
+        # bigram KN level: P(w3|w2)
+        bi_ctx_tot = bi_cont.sum(axis=1, keepdims=True)  # N1+(. w2 .)
+        bi_types = (bi_cont > 0).sum(axis=1, keepdims=True)
+        safe_bi = np.maximum(bi_ctx_tot, 1.0)
+        lam_bi = _DISCOUNT * bi_types / safe_bi
+        p_bi = np.maximum(bi_cont - _DISCOUNT, 0.0) / safe_bi + lam_bi * p_uni
+        p_bi = np.where(bi_ctx_tot > 0, p_bi, p_uni)  # unseen w2 ctx -> unigram
+
+        # trigram level: P(w3|w1,w2)
+        tri_ctx_tot = tri.sum(axis=2, keepdims=True)  # c(w1 w2)
+        tri_types = (tri > 0).sum(axis=2, keepdims=True)
+        safe_tri = np.maximum(tri_ctx_tot, 1.0)
+        lam_tri = _DISCOUNT * tri_types / safe_tri
+        p_tri = np.maximum(tri - _DISCOUNT, 0.0) / safe_tri + lam_tri * p_bi[None, :, :]
+        p_tri = np.where(tri_ctx_tot > 0, p_tri, p_bi[None, :, :])
+
+        self.logp = np.log(np.maximum(p_tri, 1e-12)).astype(np.float32)
+
+    def ppl(self, text: str) -> float:
+        """Char-level perplexity; short/empty text scores neutral 1.0."""
+        ids = _ids(" " + (text or "").lower() + " ")
+        if len(ids) < 3:
+            return 1.0
+        lp = self.logp[ids[:-2], ids[1:-1], ids[2:]]
+        return float(np.exp(-lp.mean()))
+
+    def ppl_series(self, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [self.ppl(t) for t in texts.fillna("")],
+            index=texts.index,
+            dtype=np.float64,
+        )
+
+
+_DEFAULT: CharTrigramLM | None = None
+
+
+def default_model() -> CharTrigramLM:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = CharTrigramLM(TRAIN_CORPUS)
+    return _DEFAULT
+
+
+def make_ppl_udf(spark=None):
+    """pandas UDF: text -> ppl double.
+
+    The log-prob table is broadcast once (SparkContext.broadcast) instead
+    of being pickled into every task closure; each executor rebuilds the
+    lightweight LM wrapper around the shared ndarray.
+    """
+    bc = None
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(default_model().logp)
+
+    @F.pandas_udf(T.DoubleType())
+    def ppl_udf(texts: pd.Series) -> pd.Series:
+        model = default_model()
+        if bc is not None:
+            model = CharTrigramLM.__new__(CharTrigramLM)
+            model.logp = bc.value
+        return model.ppl_series(texts)
+
+    return ppl_udf

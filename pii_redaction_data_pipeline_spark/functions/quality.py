@@ -1,0 +1,81 @@
+"""Gopher/C4-style heuristic quality rules.
+
+Everything expressible with built-in pyspark.sql.functions stays JVM-side
+(whole-stage codegen): lengths, word counts, symbol ratio. Only the
+repetition statistic (fraction of characters covered by the most common
+word 3-gram) needs Python — it runs as a vectorized pandas UDF.
+
+Replaces the reference's implicit success/failure verdict (SURVEY.md D5,
+reference backend/src/lambda/textract-bulk.py:103-105) with explicit,
+thresholded reasons from config.DROP_REASONS.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# RE2-safe patterns shared with the SQL oracle path
+WORD_SPLIT_RE = r"\s+"
+SYMBOL_RE = r"[^A-Za-z0-9\s]"  # ascii-symbol definition, portable across engines
+NONSPACE_RE = r"\S"
+
+
+def n_words_col(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WORD_SPLIT_RE))
+    )
+
+
+def symbol_ratio_col(text: Column) -> Column:
+    """non-alphanumeric non-space chars / non-space chars (unicode letters
+    counted as symbols deliberately NOT — \\w covers them via regexp)."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    # symbols = non-space minus unicode word chars
+    wordchars = F.length(F.regexp_replace(text, r"[^\w]", ""))
+    symbols = nonspace - wordchars
+    return F.when(nonspace == 0, F.lit(0.0)).otherwise(
+        symbols.cast("double") / nonspace.cast("double")
+    )
+
+
+def repetition_frac_series(texts: pd.Series) -> pd.Series:
+    """Fraction of characters covered by the most frequent word 3-gram.
+
+    Deterministic: ties don't matter (only the max count is used).
+    """
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts.fillna("")):
+        words = t.split()
+        if len(words) < 3:
+            continue
+        grams = [" ".join(words[j : j + 3]) for j in range(len(words) - 2)]
+        gram, cnt = Counter(grams).most_common(1)[0]
+        if cnt > 1:
+            out[i] = min(cnt * len(gram) / max(len(t), 1), 1.0)
+    return pd.Series(out, index=texts.index)
+
+
+def make_repetition_udf():
+    @F.pandas_udf(T.DoubleType())
+    def repetition_udf(texts: pd.Series) -> pd.Series:
+        return repetition_frac_series(texts)
+
+    return repetition_udf
+
+
+def with_heuristic_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_chars, n_words, symbol_ratio, rep_frac columns."""
+    text = F.col(text_col)
+    return (
+        df.withColumn("n_chars", F.length(text))
+        .withColumn("n_words", n_words_col(text))
+        .withColumn("symbol_ratio", symbol_ratio_col(text))
+        .withColumn("rep_frac", make_repetition_udf()(text))
+    )

@@ -1,0 +1,77 @@
+"""Conversation-level window operators.
+
+The reference's only ordering guarantees are within-batch listing order
+and per-page box application (SURVEY.md W1/W3, reference backend/src/
+lambda/textract-output.py:54-76, redact.py:198-203). The north rule
+generalizes these to stable (conv_id, turn_idx) windows with two rules:
+
+- duplicate_turn: a turn whose normalized text already appeared earlier
+  in the same conversation (later occurrences drop; analog of the
+  reference's processed_boxes dedup set, redact.py:169-193).
+- tool_loop: runs of >= k consecutive turns with role='tool', the same
+  tool, and identical normalized text — all but the first turn of the
+  run drop (agent/tool-loop filtering).
+
+Pure Window algebra — no Python UDFs. Requires conv_id-partitioned data;
+callers repartition by conv_id (unsalted) before applying, see
+plans.pipeline (two-phase: salted for turn-level stages, unsalted here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_text(col):
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def with_conversation_flags(
+    df: DataFrame,
+    tool_loop_min_run: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Add is_duplicate_turn / is_tool_loop boolean columns."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    h = F.xxhash64(_norm_text(F.col(text_col)))
+
+    # duplicate turn: same text-hash seen earlier in the conversation.
+    # Tool turns are excluded — repeated tool output is the tool_loop
+    # rule's job, and a tool result legitimately repeats verbatim.
+    dup_rank = F.row_number().over(
+        Window.partitionBy("conv_id", h).orderBy("turn_idx")
+    )
+    df = df.withColumn("_text_hash", h).withColumn(
+        "is_duplicate_turn", (dup_rank > 1) & (F.col("role") != "tool")
+    )
+
+    # tool loop: consecutive-run grouping via the rownum-difference trick.
+    # run key = (role='tool', tool, text hash); runs are maximal stretches
+    # of consecutive turns sharing the key.
+    rn = F.row_number().over(w)
+    run_key = F.when(
+        F.col("role") == "tool",
+        F.concat_ws("\x00", F.col("tool"), F.col("_text_hash").cast("string")),
+    )
+    keyed_rn = F.row_number().over(
+        Window.partitionBy("conv_id", run_key).orderBy("turn_idx")
+    )
+    df = df.withColumn("_rn", rn).withColumn(
+        "_run_grp", F.when(run_key.isNotNull(), F.col("_rn") - keyed_rn)
+    )
+    wrun = Window.partitionBy("conv_id", run_key, "_run_grp")
+    run_len = F.count("*").over(wrun)
+    pos_in_run = F.row_number().over(
+        Window.partitionBy("conv_id", run_key, "_run_grp").orderBy("turn_idx")
+    )
+    df = df.withColumn(
+        "is_tool_loop",
+        F.when(
+            F.col("_run_grp").isNotNull()
+            & (run_len >= tool_loop_min_run)
+            & (pos_in_run > 1),
+            F.lit(True),
+        ).otherwise(F.lit(False)),
+    )
+    return df.drop("_text_hash", "_rn", "_run_grp")

@@ -1,0 +1,242 @@
+"""The quality-filter pipeline: one declarative Spark plan.
+
+This is the Spark translation of the reference's whole Step Functions
+state machine (SURVEY.md §3.1): what was eight Lambda hops over S3/SQS/
+SNS/DynamoDB becomes a single DataFrame chain —
+
+  scan → [langid | scrub | ppl | heuristics]  (narrow, Arrow-batched)
+       → conversation windows                 (one shuffle on conv_id)
+       → verdict assembly                     (JVM-side expressions)
+       → bucketed write + lineage             (per-partition checkpoint)
+
+Scale notes (the plan you'd want at 100 TB):
+  * All Python stages run BEFORE the conv_id shuffle, on the scan's
+    byte-balanced input splits — a skewed conversation costs nothing in
+    the UDF stages (rows are independent) and the only stage that needs
+    conv_id locality is cheap window algebra.
+  * Exactly ONE shuffle in the whole plan (repartition by conv_id for
+    the windows); verdicts and writes reuse that partitioning.
+  * Filters on the final `keep` column and column pruning push into the
+    parquet/Iceberg scan of downstream consumers — the annotated table
+    is written with plain Spark SQL types only.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pii_redaction_data_pipeline_spark.config import PipelineConfig
+from pii_redaction_data_pipeline_spark.functions.langid import make_langid_udf
+from pii_redaction_data_pipeline_spark.functions.perplexity import make_ppl_udf
+from pii_redaction_data_pipeline_spark.functions.quality import (
+    make_repetition_udf,
+    n_words_col,
+    symbol_ratio_col,
+)
+from pii_redaction_data_pipeline_spark.functions.scrub import make_scrub_udf
+from pii_redaction_data_pipeline_spark.operators.windows import with_conversation_flags
+from pii_redaction_data_pipeline_spark.sources.lineage import LineageStore
+from pii_redaction_data_pipeline_spark.sources.tables import (
+    BUCKET_COL,
+    TableIO,
+    with_bucket,
+)
+
+MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"
+
+
+def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = None) -> DataFrame:
+    """transcripts -> annotated (adds lang, lang_conf, ppl, heuristic cols,
+    keep, drop_reasons, scrubbed_text, scrub_counts)."""
+    langid_udf = make_langid_udf()
+    scrub_udf = make_scrub_udf()
+    ppl_udf = make_ppl_udf(spark)
+    rep_udf = make_repetition_udf()
+
+    text = F.col("text")
+
+    # --- narrow, Arrow-batched stages (no shuffle) ---
+    df = df.withColumn("_lid", langid_udf(text))
+    df = df.withColumn("_scrub", scrub_udf(text))
+    df = (
+        df.withColumn("lang", F.col("_lid.lang"))
+        .withColumn("lang_conf", F.col("_lid.lang_conf"))
+        .withColumn("_scrubbed", F.col("_scrub.scrubbed_text"))
+        .withColumn("_counts", F.col("_scrub.scrub_counts"))
+        .drop("_lid", "_scrub")
+    )
+    # ppl on scrubbed text with mask tokens stripped (fluency of the
+    # non-PII content; mask tokens are not English)
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("_scrubbed"), MASK_TOKEN_RE, " "), r"\s+", " ")
+    )
+    df = df.withColumn("ppl", ppl_udf(stripped))
+    df = (
+        df.withColumn("n_chars", F.length(text))
+        .withColumn("n_words", n_words_col(text))
+        .withColumn("symbol_ratio", symbol_ratio_col(text))
+        .withColumn("rep_frac", rep_udf(text))
+    )
+
+    # --- conversation windows: the single conv_id shuffle ---
+    df = df.repartition("conv_id")
+    df = with_conversation_flags(df, tool_loop_min_run=cfg.tool_loop_min_run)
+
+    # --- verdict assembly (pure JVM expressions) ---
+    lang_fail = (~F.col("lang").isin(*cfg.allowed_langs)) & (
+        F.col("lang_conf") >= cfg.lang_min_conf
+    )
+    too_short = (F.col("n_chars") < cfg.min_chars) | (F.col("n_words") < cfg.min_words)
+    too_long = F.col("n_chars") > cfg.max_chars
+    symbol = F.col("symbol_ratio") > cfg.max_symbol_ratio
+    repetition = F.col("rep_frac") > cfg.max_top3gram_frac
+    content_fired = too_short | too_long | symbol | repetition
+    high_ppl = (
+        (~lang_fail)
+        & (~content_fired)
+        & (F.col("role") != "tool")
+        & (F.col("ppl") > cfg.max_ppl)
+    )
+
+    def gated(flag, name):
+        return F.when(flag, F.lit(name))
+
+    reasons = F.array_compact(
+        F.array(
+            gated(lang_fail, "lang"),
+            gated(~lang_fail & too_short, "too_short"),
+            gated(~lang_fail & too_long, "too_long"),
+            gated(~lang_fail & symbol, "symbol_ratio"),
+            gated(~lang_fail & repetition, "repetition"),
+            gated(high_ppl, "high_ppl"),
+            gated(F.col("is_duplicate_turn"), "duplicate_turn"),
+            gated(F.col("is_tool_loop"), "tool_loop"),
+        )
+    )
+    df = df.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )
+    df = (
+        df.withColumn("scrubbed_text", F.when(F.col("keep"), F.col("_scrubbed")))
+        .withColumn("scrub_counts", F.when(F.col("keep"), F.col("_counts")))
+        .drop("_scrubbed", "_counts", "is_duplicate_turn", "is_tool_loop")
+    )
+    return df
+
+
+def lineage_metrics(
+    annotated_out: DataFrame, run_id: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Aggregate per-bucket lineage rows from the written annotated table.
+
+    `buckets` is the full set of buckets this run covered — buckets that
+    happen to contain zero rows still get a (rows_in=0, complete) row,
+    otherwise a rerun would re-process them forever (found by the
+    kill-and-resume probe)."""
+    exploded = F.explode_outer("drop_reasons").alias("reason")
+    by_reason = (
+        annotated_out.select(BUCKET_COL, exploded)
+        .where(F.col("reason").isNotNull())
+        .groupBy(BUCKET_COL, "reason")
+        .count()
+        .groupBy(BUCKET_COL)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("reason", "count")))
+            ).alias("drop_reason_counts")
+        )
+    )
+    scrub_kv = (
+        annotated_out.select(
+            BUCKET_COL, F.explode_outer("scrub_counts").alias("pii_type", "n")
+        )
+        .where(F.col("pii_type").isNotNull())
+        .groupBy(BUCKET_COL, "pii_type")
+        .agg(F.sum("n").alias("n"))
+        .groupBy(BUCKET_COL)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("pii_type", "n")))
+            ).alias("scrub_counts")
+        )
+    )
+    totals = annotated_out.groupBy(BUCKET_COL).agg(
+        F.count("*").alias("rows_in"),
+        F.sum(F.col("keep").cast("long")).alias("rows_out"),
+    )
+    if buckets is not None:
+        spark = annotated_out.sparkSession
+        all_buckets = spark.createDataFrame(
+            [(int(b),) for b in buckets], f"{BUCKET_COL} int"
+        )
+        totals = (
+            all_buckets.join(totals, BUCKET_COL, "left")
+            .na.fill({"rows_in": 0, "rows_out": 0})
+        )
+    out = (
+        totals.join(by_reason, BUCKET_COL, "left")
+        .join(scrub_kv, BUCKET_COL, "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col(BUCKET_COL).cast("string").alias("partition_id"),
+            "rows_in",
+            "rows_out",
+            "drop_reason_counts",
+            "scrub_counts",
+            F.lit("complete").alias("status"),
+            F.lit(int(time.time() * 1000)).alias("finished_seq"),
+        )
+    )
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lineage_path: str,
+    run_id: str = "run-0",
+    cfg: PipelineConfig | None = None,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Full job with checkpoint/resume.
+
+    Returns a summary dict. `fail_after_buckets` injects a crash after N
+    buckets for the kill-and-resume test.
+    """
+    cfg = cfg or PipelineConfig()
+    io = TableIO(spark, n_buckets=cfg.n_buckets)
+    lineage = LineageStore(spark, lineage_path)
+
+    src = io.read(input_path)
+    src = with_bucket(src, cfg.n_buckets)
+
+    done = set(lineage.completed_buckets(run_id))
+    todo = [b for b in range(cfg.n_buckets) if b not in done]
+    if not todo:
+        return {"run_id": run_id, "processed_buckets": [], "resumed": True}
+
+    if fail_after_buckets is not None:
+        todo = todo[:fail_after_buckets]
+
+    # one Spark job over all remaining buckets (bucket pruning via filter
+    # — with Iceberg this is partition pruning on the metadata scan)
+    part = src.filter(F.col(BUCKET_COL).isin(todo))
+    ann = annotate(part, cfg, spark)
+    io.write_bucketed(ann, output_path)
+
+    out = spark.read.parquet(output_path).filter(F.col(BUCKET_COL).isin(todo))
+    metrics = lineage_metrics(out, run_id, buckets=todo)
+    lineage.append(metrics)
+
+    if fail_after_buckets is not None:
+        raise RuntimeError("injected failure after %d buckets" % fail_after_buckets)
+
+    return {
+        "run_id": run_id,
+        "processed_buckets": todo,
+        "resumed": bool(done),
+    }

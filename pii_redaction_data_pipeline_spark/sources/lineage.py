@@ -1,0 +1,59 @@
+"""Per-partition checkpoint/lineage store.
+
+Generalizes the reference's DynamoDB workflow row + Manifest summary
+(machine-state.py:60 INSERT; pii-output.py:91-93 Manifest;
+useWorkflows.jsx:109-113 reads InputFileCount/SuccessfulFilesCount/
+UnprocessedFilesCount) into one table with a row per (run_id, bucket):
+
+  run_id, partition_id, rows_in, rows_out,
+  drop_reason_counts map<string,long>, scrub_counts map<string,long>,
+  status ('complete'), finished_seq
+
+Resume = anti-join of input buckets vs completed lineage rows — the
+Spark translation of the reference's "processed files < input files →
+submit more work" loop (textract-bulk.py:108-118). Appends are atomic at
+file granularity; a bucket is only trusted once its row says complete,
+so a crash mid-run re-processes at most the in-flight buckets
+(idempotent because output writes are per-bucket dynamic overwrites).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("rows_in", T.LongType()),
+        T.StructField("rows_out", T.LongType()),
+        T.StructField("drop_reason_counts", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("scrub_counts", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("status", T.StringType()),
+        T.StructField("finished_seq", T.LongType()),
+    ]
+)
+
+
+class LineageStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+
+    def completed_buckets(self, run_id: str) -> list[int]:
+        df = self.read().filter(
+            (F.col("run_id") == run_id) & (F.col("status") == "complete")
+        )
+        return [int(r.partition_id) for r in df.select("partition_id").distinct().collect()]
+
+    def append(self, df: DataFrame):
+        df.write.mode("append").parquet(self.path)
