@@ -1,0 +1,82 @@
+"""End-to-end golden-fixture equality: the correctness gate.
+
+North rule: keep/drop F1 >= 0.99 vs fixture labels and EXACT per-turn
+scrubbed-text equality where kept, under stable (conv_id, turn_idx)
+ordering. We additionally require exact drop_reasons and scrub_counts.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _joined(spark, tiny, tiny_annotated):
+    ann = spark.read.parquet(tiny_annotated[0])
+    exp = spark.read.parquet(tiny[1])
+    return ann.alias("a").join(exp.alias("e"), ["conv_id", "turn_idx"], "full")
+
+
+def test_row_cardinality(spark, tiny, tiny_annotated):
+    j = _joined(spark, tiny, tiny_annotated)
+    assert j.filter(F.col("a.keep").isNull() | F.col("e.keep").isNull()).count() == 0
+
+
+def test_keep_drop_f1(spark, tiny, tiny_annotated):
+    j = _joined(spark, tiny, tiny_annotated)
+    agg = j.agg(
+        F.sum((F.col("a.keep") & F.col("e.keep")).cast("long")).alias("tp"),
+        F.sum((F.col("a.keep") & ~F.col("e.keep")).cast("long")).alias("fp"),
+        F.sum((~F.col("a.keep") & F.col("e.keep")).cast("long")).alias("fn"),
+    ).first()
+    precision = agg.tp / max(agg.tp + agg.fp, 1)
+    recall = agg.tp / max(agg.tp + agg.fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, (agg, f1)
+
+
+def test_exact_labels(spark, tiny, tiny_annotated):
+    j = _joined(spark, tiny, tiny_annotated)
+    assert j.filter(F.col("a.keep") != F.col("e.keep")).count() == 0
+    assert (
+        j.filter(~F.col("a.drop_reasons").eqNullSafe(F.col("e.drop_reasons"))).count()
+        == 0
+    )
+    assert (
+        j.filter(~F.col("a.scrubbed_text").eqNullSafe(F.col("e.scrubbed_text"))).count()
+        == 0
+    )
+    sa = F.array_sort(F.map_entries(F.col("a.scrub_counts"))).cast(
+        "array<struct<k:string,v:long>>"
+    )
+    se = F.array_sort(F.map_entries(F.col("e.scrub_counts"))).cast(
+        "array<struct<k:string,v:long>>"
+    )
+    assert j.filter(~sa.eqNullSafe(se)).count() == 0
+
+
+def test_stable_ordering(spark, tiny, tiny_annotated):
+    """Reading back ordered by (conv_id, turn_idx) gives dense turn_idx."""
+    ann = spark.read.parquet(tiny_annotated[0])
+    w = (
+        ann.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"), F.min("turn_idx").alias("mn"))
+        .filter((F.col("mx") - F.col("mn") + 1 != F.col("n")) | (F.col("mn") != 0))
+    )
+    assert w.count() == 0
+
+
+def test_lineage_totals(spark, tiny, tiny_annotated):
+    ann = spark.read.parquet(tiny_annotated[0])
+    lin = spark.read.parquet(tiny_annotated[1])
+    tot = lin.agg(F.sum("rows_in").alias("ri"), F.sum("rows_out").alias("ro")).first()
+    assert tot.ri == ann.count()
+    assert tot.ro == ann.filter("keep").count()
+    # drop-reason counts roll up to the annotated table's truth
+    reasons = (
+        ann.select(F.explode("drop_reasons").alias("r")).groupBy("r").count().collect()
+    )
+    lin_reasons = (
+        lin.select(F.explode("drop_reason_counts").alias("r", "n"))
+        .groupBy("r")
+        .agg(F.sum("n").alias("count"))
+        .collect()
+    )
+    assert {r.r: r["count"] for r in reasons} == {r.r: r["count"] for r in lin_reasons}

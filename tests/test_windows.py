@@ -1,0 +1,106 @@
+"""Conversation-window operator tests on hand-built mini conversations."""
+
+import datetime as dt
+
+from pii_redaction_data_pipeline_spark.operators.windows import (
+    with_conversation_flags,
+)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, tool, TS) for c, i, r, t, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def _flags(df):
+    out = df.orderBy("conv_id", "turn_idx").collect()
+    return [(r.is_duplicate_turn, r.is_tool_loop) for r in out]
+
+
+def test_duplicate_turn_later_occurrence_only(spark):
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "user", "hello there", None),
+            ("c1", 1, "assistant", "hi, how can i help", None),
+            ("c1", 2, "user", "hello there", None),  # dup of 0
+            ("c1", 3, "user", "  Hello   THERE ", None),  # dup after normalization
+        ],
+    )
+    assert _flags(with_conversation_flags(df)) == [
+        (False, False),
+        (False, False),
+        (True, False),
+        (True, False),
+    ]
+
+
+def test_duplicate_scoped_per_conversation(spark):
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "user", "same text", None),
+            ("c2", 0, "user", "same text", None),  # different conv: not a dup
+        ],
+    )
+    assert _flags(with_conversation_flags(df)) == [(False, False), (False, False)]
+
+
+def test_tool_loop_run_of_three(spark):
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "tool", "result A", "search"),
+            ("c1", 1, "tool", "result A", "search"),
+            ("c1", 2, "tool", "result A", "search"),
+            ("c1", 3, "user", "thanks", None),
+            ("c1", 4, "tool", "result A", "search"),  # separate run of 1
+        ],
+    )
+    assert _flags(with_conversation_flags(df)) == [
+        (False, False),
+        (False, True),
+        (False, True),
+        (False, False),
+        (False, False),
+    ]
+
+
+def test_tool_run_of_two_not_a_loop(spark):
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "tool", "result A", "search"),
+            ("c1", 1, "tool", "result A", "search"),
+        ],
+    )
+    assert _flags(with_conversation_flags(df)) == [(False, False), (False, False)]
+
+
+def test_tool_loop_requires_same_tool_and_text(spark):
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "tool", "result A", "search"),
+            ("c1", 1, "tool", "result A", "exec"),  # different tool
+            ("c1", 2, "tool", "result A", "search"),
+            ("c1", 3, "tool", "result B", "search"),  # different text
+        ],
+    )
+    flags = _flags(with_conversation_flags(df))
+    assert all(not loop for _, loop in flags)
+
+
+def test_tool_turns_exempt_from_duplicate_rule(spark):
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "tool", "result A", "search"),
+            ("c1", 5, "tool", "result A", "search"),  # non-consecutive repeat
+        ],
+    )
+    assert _flags(with_conversation_flags(df)) == [(False, False), (False, False)]
