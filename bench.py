@@ -1,0 +1,161 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "pipeline": {...turns/sec...}}.
+
+The flagship metric (BASELINE.md) is turns/sec of the full quality-
+filter pipeline over the synthetic transcript table at a scale matched
+to the sf dir (sf0.1 -> ~2M turns). Transcript input is generated once
+(deterministic, seeded) and cached under .bench_cache/.
+
+Set BENCH_SCALING=1 to also run the pipeline at local[8] vs local[32]
+in subprocesses and report scaling efficiency (BASELINE.md §targets);
+scripts/bench_scaling.py wraps this and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_TO_SCALE = {"0.001": "tiny", "0.01": "small", "0.1": "bench"}
+
+# headline subset of the driver-contract queries (ordered cheap->heavy)
+HEADLINE = [
+    "tpch_q1",
+    "join_3way",
+    "sessionize",
+    "w3_running_sum",
+    "dedup_consecutive",
+    "scrub_sql",
+    "quality_heuristics",
+    "token_count",
+    "langid_stopwords",
+    "cosine_topk",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "pipeline_documents",
+]
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else "0.1"
+
+
+def ensure_transcripts(scale: str) -> str:
+    from pii_redaction_data_pipeline_spark.datagen import write_parquet
+
+    cache = os.path.join(REPO, ".bench_cache", scale)
+    path = os.path.join(cache, "transcripts.parquet")
+    if not os.path.exists(path):
+        write_parquet(scale, cache)
+    return path
+
+
+def time_pipeline(spark, transcripts_path: str, out_dir: str) -> dict:
+    """Full pipeline wall-clock (annotate + bucketed write) -> turns/sec."""
+    import shutil
+
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+    from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = PipelineConfig()
+    io = TableIO(spark, n_buckets=cfg.n_buckets)
+    src = spark.read.parquet(transcripts_path)
+    n_turns = src.count()  # cheap metadata-ish count, outside the timed span
+    t0 = time.time()
+    ann = annotate(src, cfg, spark)
+    io.write_bucketed(ann, out_dir)
+    wall = time.time() - t0
+    return {
+        "turns": n_turns,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_of(sf_dir)
+    scale = SF_TO_SCALE.get(sf, "bench")
+
+    import __spark_entry__ as E
+    from pii_redaction_data_pipeline_spark import get_spark
+
+    transcripts = ensure_transcripts(scale)
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    pipe = time_pipeline(
+        spark, transcripts, os.path.join(REPO, ".bench_cache", scale, "out")
+    )
+    timings["pipeline_transcripts"] = pipe["wall_sec"]
+    spark.stop()
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "pipeline": pipe,
+        "cpus": int(cpus),
+    }
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        result["scaling"] = run_scaling(scale)
+
+    print(json.dumps(result))
+
+
+def run_scaling(scale: str) -> dict:
+    """Same pipeline job at local[8] and local[32] in fresh JVMs."""
+    import subprocess
+
+    out = {}
+    for n in (8, 32):
+        code = (
+            "import sys, json; sys.path.insert(0, %r)\n"
+            "from pii_redaction_data_pipeline_spark import get_spark\n"
+            "import bench\n"
+            "spark = get_spark(master='local[%d]', app_name='bench-scale')\n"
+            "p = bench.time_pipeline(spark, %r, %r)\n"
+            "spark.stop(); print('RESULT ' + json.dumps(p))\n"
+        ) % (
+            REPO,
+            n,
+            ensure_transcripts(scale),
+            os.path.join(REPO, ".bench_cache", scale, f"out_scale{n}"),
+        )
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, env=env
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        out[f"local[{n}]"] = json.loads(line[0][7:]) if line else {"error": proc.stderr[-500:]}
+    if all("turns_per_sec" in v for v in out.values()):
+        t8 = out["local[8]"]["turns_per_sec"]
+        t32 = out["local[32]"]["turns_per_sec"]
+        out["efficiency_8_to_32"] = round(t32 / (4 * t8), 3)
+    return out
+
+
+if __name__ == "__main__":
+    main()

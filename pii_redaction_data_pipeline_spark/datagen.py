@@ -410,7 +410,13 @@ def write_parquet(scale: str, out_dir: str) -> tuple[str, str]:
             ("ts", pa.timestamp("us")),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(tdf, schema=schema, preserve_index=False), tp)
+    # small row groups so Spark's byte-range splits can actually
+    # parallelize the scan (one giant row group = one task)
+    pq.write_table(
+        pa.Table.from_pandas(tdf, schema=schema, preserve_index=False),
+        tp,
+        row_group_size=65536,
+    )
     lschema = pa.schema(
         [
             ("conv_id", pa.string()),

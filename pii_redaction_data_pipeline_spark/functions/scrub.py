@@ -124,6 +124,21 @@ def scrub_text_value(text: str) -> tuple[str, dict[str, int]]:
     return text, counts
 
 
+# cheap literal prefilters: a pattern can only match rows containing its
+# trigger character, so the expensive regexes run on that subset only.
+# (pii_type, rx) -> trigger: EMAIL '@', IPv6 ':', all-numeric patterns a digit.
+_TRIGGERS: dict[int, str | None] = {}
+for _idx, (_t, _p, _l) in enumerate(PATTERNS):
+    if _t == "EMAIL":
+        _TRIGGERS[_idx] = "@"
+    elif _p == IPV6_RE:
+        _TRIGGERS[_idx] = ":"
+    elif _t in ("IP", "SSN", "CREDIT_CARD", "PHONE"):
+        _TRIGGERS[_idx] = "digit"
+    else:
+        _TRIGGERS[_idx] = None
+
+
 def scrub_frame(texts: pd.Series) -> pd.DataFrame:
     """Vectorized scrub of a batch: -> DataFrame(scrubbed_text, scrub_counts).
 
@@ -131,23 +146,44 @@ def scrub_frame(texts: pd.Series) -> pd.DataFrame:
     """
     s = texts.fillna("")
     per_type = {t: np.zeros(len(s), dtype=np.int64) for t in PII_TYPES}
-    for pii_type, rx, needs_luhn in _COMPILED:
+    has_digit = s.str.contains(r"[0-9]", regex=True).to_numpy()
+
+    for pat_i, (pii_type, rx, needs_luhn) in enumerate(_COMPILED):
+        trigger = _TRIGGERS[pat_i]
+        if trigger == "digit":
+            cand = has_digit
+        elif trigger is not None:
+            cand = s.str.contains(trigger, regex=False).to_numpy()
+        else:
+            cand = None  # run on the full batch
+
+        if cand is not None:
+            if not cand.any():
+                continue
+            sub = s[cand]
+        else:
+            sub = s
+
         if needs_luhn:
-            # vectorized prefilter; Python only on candidate rows
-            mask = s.str.count(rx) > 0
+            mask = sub.str.count(rx) > 0
             if mask.any():
-                idx = np.flatnonzero(mask.to_numpy())
+                idx = mask.index[mask.to_numpy()]
                 vals = s.to_numpy(dtype=object)
+                pos = s.index.get_indexer(idx)
                 add = per_type[pii_type]
-                for i in idx:
-                    vals[i], n = _cc_scan_replace(rx, vals[i])
-                    add[i] += n
+                for p in pos:
+                    vals[p], n = _cc_scan_replace(rx, vals[p])
+                    add[p] += n
                 s = pd.Series(vals, index=s.index)
         else:
-            n = s.str.count(rx).to_numpy()
-            if n.any():
-                per_type[pii_type] += n
-                s = s.str.replace(rx, token(pii_type), regex=True)
+            n = sub.str.count(rx)
+            if n.to_numpy().any():
+                hit = n[n > 0]
+                pos = s.index.get_indexer(hit.index)
+                per_type[pii_type][pos] += hit.to_numpy()
+                repl = sub[n > 0].str.replace(rx, token(pii_type), regex=True)
+                s = s.copy()
+                s.iloc[pos] = repl
     counts = [
         {t: int(per_type[t][i]) for t in PII_TYPES if per_type[t][i] > 0}
         for i in range(len(s))

@@ -60,17 +60,17 @@ def with_conversation_flags(
     df = df.withColumn("_rn", rn).withColumn(
         "_run_grp", F.when(run_key.isNotNull(), F.col("_rn") - keyed_rn)
     )
+    # one unordered window spec serves both aggregates (single sort):
+    # run length, and the run's first row (min rn) to spare the keeper
     wrun = Window.partitionBy("conv_id", run_key, "_run_grp")
     run_len = F.count("*").over(wrun)
-    pos_in_run = F.row_number().over(
-        Window.partitionBy("conv_id", run_key, "_run_grp").orderBy("turn_idx")
-    )
+    first_rn = F.min("_rn").over(wrun)
     df = df.withColumn(
         "is_tool_loop",
         F.when(
             F.col("_run_grp").isNotNull()
             & (run_len >= tool_loop_min_run)
-            & (pos_in_run > 1),
+            & (F.col("_rn") > first_rn),
             F.lit(True),
         ).otherwise(F.lit(False)),
     )

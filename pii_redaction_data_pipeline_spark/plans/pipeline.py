@@ -58,6 +58,25 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
 
     text = F.col("text")
 
+    # --- two-phase partitioning (SURVEY.md §4 skew handling) ---
+    # Phase 1: salted conv_id repartition with an EXPLICIT partition count
+    # before the heavy Python stages. Explicit counts matter twice: a
+    # degenerate scan layout (one fat row group) would otherwise starve
+    # the UDF stages, and AQE's advisory coalescing must not shrink the
+    # exchange below the core count. Salting spreads skewed 30k-turn
+    # conversations across workers — safe because these stages are
+    # strictly per-row.
+    n_parts = None
+    if spark is not None:
+        n_parts = spark.sparkContext.defaultParallelism * 2
+        from pii_redaction_data_pipeline_spark.operators.skew import (
+            salted_repartition,
+        )
+
+        df = salted_repartition(
+            df, salt_buckets=cfg.salt_buckets, num_partitions=n_parts
+        )
+
     # --- narrow, Arrow-batched stages (no shuffle) ---
     df = df.withColumn("_lid", langid_udf(text))
     df = df.withColumn("_scrub", scrub_udf(text))
@@ -81,8 +100,10 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
         .withColumn("rep_frac", rep_udf(text))
     )
 
-    # --- conversation windows: the single conv_id shuffle ---
-    df = df.repartition("conv_id")
+    # --- conversation windows: phase 2, the unsalted conv_id shuffle ---
+    # (explicit count again so AQE can't coalesce the five window sorts
+    # onto a handful of cores)
+    df = df.repartition(n_parts, "conv_id") if n_parts else df.repartition("conv_id")
     df = with_conversation_flags(df, tool_loop_min_run=cfg.tool_loop_min_run)
 
     # --- verdict assembly (pure JVM expressions) ---

@@ -51,6 +51,13 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_PARQUET_CODEC", "snappy"),
         )
+        # local inputs are far below 128 MB; smaller splits keep all
+        # cores busy through the pandas-UDF stages. On a real cluster
+        # the submitter sizes this to input volume (128-256 MB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
