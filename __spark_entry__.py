@@ -422,9 +422,144 @@ def q_multimodal_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_j3_theta_contains(spark, sf_dir):
+    """J3: broadcast nested-loop theta join — substring-containment match
+    of a small needle set against every document (reference redact.py's
+    entity x bbox containment, SURVEY.md §2.3 J3)."""
+    docs = _t(spark, sf_dir, "documents")
+    needles = spark.createDataFrame([("table",), ("vector",), ("data",)], "needle string")
+    return (
+        docs.join(F.broadcast(needles), F.expr("instr(lower(text), needle) > 0"))
+        .groupBy("needle")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("needle")
+    )
+
+
+def q_s4_merge_parts(spark, sf_dir):
+    """S4: multi-part result merge — ordered concat of parts per group
+    (reference textract-output.py:18-49 paginated-JSON stitch)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id, text))),"
+                    " x -> x.text)"
+                ),
+                " | ",
+            ).alias("merged"),
+            F.count("*").alias("n_parts"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_a1_status_map(spark, sf_dir):
+    """A1: doc-status map merge (reference update-wf-status.py:30-39),
+    rendered as a canonical 'status:count' string for engine parity."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").count()
+    return (
+        per.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(o_orderstatus, count))),"
+                    " x -> concat(x.o_orderstatus, ':', x.count))"
+                ),
+                ",",
+            ).alias("status_map")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_rollup_matrix(spark, sf_dir):
+    """Rollup (grouping-sets family) — event_type x quarter-day matrix
+    with subtotals and grand total (lineage drop-reason matrices analog)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "qday", F.floor(F.hour("ts") / 6).cast("long")
+    )
+    return (
+        ev.rollup("event_type", "qday")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("qday", F.lit(-1)).alias("qday"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "qday")
+    )
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """§2.7 scalar/string family: format, split/basename/ext, replace,
+    lpad, substring, percent rounding (reference key-manipulation ops)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    path = F.format_string("input/%s/%d.txt", F.col("source"), F.col("doc_id"))
+    basename = F.element_at(F.split(path, "/"), -1)
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        basename.alias("basename"),
+        F.element_at(F.split(basename, "[.]"), 1).alias("stem"),
+        F.regexp_replace(path, "\\.txt$", "").alias("no_ext"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.substring(F.upper("source"), 1, 3).alias("src3"),
+        F.round(F.col("n_chars") / 347.0 * 100, 2).alias("pct"),
+    ).orderBy("doc_id")
+
+
+def q_date_funcs(spark, sf_dir):
+    """§2.7 date family: truncation, extraction, day arithmetic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week_start"),
+        F.hour("ts").cast("long").alias("h"),
+        F.dayofweek("ts").cast("long").alias("dow1"),  # 1=Sunday
+        F.datediff(F.lit("2024-02-01").cast("date"), d).cast("long").alias("days_to_feb"),
+    ).orderBy("event_id")
+
+
+def q_json_props(spark, sf_dir):
+    """§2.7 JSON decode: extract typed field from the events props JSON."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k") > 80)
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible: pandas-UDF sketches, pipeline, stubs)
 # ---------------------------------------------------------------------------
+
+
+def q_segment_pack(spark, sf_dir):
+    """Sentence segmentation + greedy packing (reference segment.py:82-114)
+    at a 120-char budget so the docs actually split."""
+    from pii_redaction_data_pipeline_spark.functions.segment import make_segment_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    seg = make_segment_udf(seg_len=120)
+    segs = docs.select("doc_id", seg(F.col("text")).alias("segments"))
+    return segs.select(
+        "doc_id",
+        F.size("segments").alias("n_segments"),
+        F.aggregate(
+            F.transform("segments", lambda s: F.length(s)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    ).orderBy("doc_id")
 
 
 def q_pipeline_documents(spark, sf_dir):
@@ -531,7 +666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "multimodal_meta": q_multimodal_meta,
+        "j3_theta_contains": q_j3_theta_contains,
+        "s4_merge_parts": q_s4_merge_parts,
+        "a1_status_map": q_a1_status_map,
+        "rollup_matrix": q_rollup_matrix,
+        "scalar_funcs": q_scalar_funcs,
+        "date_funcs": q_date_funcs,
+        "json_props": q_json_props,
         # rows-only (no oracle)
+        "segment_pack": q_segment_pack,
         "pipeline_documents": q_pipeline_documents,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -754,5 +897,68 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY doc_id
+        """,
+        "j3_theta_contains": """
+            SELECT needle, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents, (VALUES ('table'), ('vector'), ('data')) t(needle)
+            WHERE instr(lower(text), needle) > 0
+            GROUP BY needle ORDER BY needle
+        """,
+        "s4_merge_parts": """
+            SELECT source, string_agg(text, ' | ' ORDER BY doc_id) AS merged,
+                   count(*) AS n_parts
+            FROM documents WHERE doc_id < 60
+            GROUP BY source ORDER BY source
+        """,
+        "a1_status_map": """
+            SELECT o_orderpriority,
+                   string_agg(o_orderstatus || ':' || n, ',' ORDER BY o_orderstatus)
+                       AS status_map
+            FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+                  FROM orders GROUP BY 1, 2) t
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "rollup_matrix": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(qday, -1) AS qday,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (SELECT event_type,
+                         CAST(floor(extract(hour FROM ts) / 6) AS BIGINT) AS qday,
+                         value
+                  FROM events) t
+            GROUP BY ROLLUP (event_type, qday)
+            ORDER BY 1, 2
+        """,
+        "scalar_funcs": """
+            SELECT doc_id,
+                   printf('input/%s/%d.txt', source, doc_id) AS path,
+                   split_part(printf('input/%s/%d.txt', source, doc_id), '/', 3)
+                       AS basename,
+                   split_part(split_part(printf('input/%s/%d.txt', source, doc_id),
+                       '/', 3), '.', 1) AS stem,
+                   regexp_replace(printf('input/%s/%d.txt', source, doc_id),
+                       '\\.txt$', '') AS no_ext,
+                   lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+                   substr(upper(source), 1, 3) AS src3,
+                   round(n_chars / 347.0 * 100, 2) AS pct
+            FROM documents WHERE doc_id < 500 ORDER BY doc_id
+        """,
+        "date_funcs": """
+            SELECT event_id,
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+                   strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS h,
+                   CAST(extract(dow FROM ts) + 1 AS BIGINT) AS dow1,
+                   date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+                       AS days_to_feb
+            FROM events WHERE user_id < 40 ORDER BY event_id
+        """,
+        "json_props": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+            ORDER BY event_id
         """,
     }

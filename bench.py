@@ -97,6 +97,14 @@ def main():
 
     spark = get_spark(master=f"local[{cpus}]", app_name="bench")
     qs = E.queries()
+
+    # warm-up: pay one-time JVM JIT/codegen + Python-daemon startup before
+    # any timed measurement (a long-running executor amortizes these)
+    qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["langid_stopwords"](spark, sf_dir).limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -125,22 +133,34 @@ def main():
     print(json.dumps(result))
 
 
-def run_scaling(scale: str) -> dict:
-    """Same pipeline job at local[8] and local[32] in fresh JVMs."""
+def run_scaling(scale: str, levels: tuple[int, ...] = (4, 8, 16, 32)) -> dict:
+    """Same pipeline job at local[N] for each N, in fresh JVMs.
+
+    Each subprocess runs the job TWICE and reports the second (steady-
+    state) run: the first run pays one-time JVM JIT/codegen and Python-
+    daemon spin-up, a fixed per-process cost that a real long-running
+    executor amortizes away and that would otherwise be misread as a
+    scaling limit. Efficiency is reported for every (N, 4N) pair present.
+    """
     import subprocess
 
     out = {}
-    for n in (8, 32):
+    for n in levels:
         code = (
             "import sys, json; sys.path.insert(0, %r)\n"
             "from pii_redaction_data_pipeline_spark import get_spark\n"
             "import bench\n"
             "spark = get_spark(master='local[%d]', app_name='bench-scale')\n"
-            "p = bench.time_pipeline(spark, %r, %r)\n"
+            "bench.time_pipeline(spark, %r, %r)  # warm-up: JIT/codegen/pyworkers\n"
+            "runs = [bench.time_pipeline(spark, %r, %r) for _ in range(3)]\n"
+            "p = sorted(runs, key=lambda r: r['wall_sec'])[1]  # median of 3\n"
+            "p['runs_wall_sec'] = [r['wall_sec'] for r in runs]\n"
             "spark.stop(); print('RESULT ' + json.dumps(p))\n"
         ) % (
             REPO,
             n,
+            ensure_transcripts(scale),
+            os.path.join(REPO, ".bench_cache", scale, f"out_scale{n}"),
             ensure_transcripts(scale),
             os.path.join(REPO, ".bench_cache", scale, f"out_scale{n}"),
         )
@@ -150,10 +170,12 @@ def run_scaling(scale: str) -> dict:
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         out[f"local[{n}]"] = json.loads(line[0][7:]) if line else {"error": proc.stderr[-500:]}
-    if all("turns_per_sec" in v for v in out.values()):
-        t8 = out["local[8]"]["turns_per_sec"]
-        t32 = out["local[32]"]["turns_per_sec"]
-        out["efficiency_8_to_32"] = round(t32 / (4 * t8), 3)
+    for n in levels:
+        lo, hi = f"local[{n}]", f"local[{4 * n}]"
+        if "turns_per_sec" in out.get(lo, {}) and "turns_per_sec" in out.get(hi, {}):
+            out[f"efficiency_{n}_to_{4 * n}"] = round(
+                out[hi]["turns_per_sec"] / (4 * out[lo]["turns_per_sec"]), 3
+            )
     return out
 
 

@@ -25,20 +25,28 @@ WORD_SPLIT_RE = r"\s+"
 SYMBOL_RE = r"[^A-Za-z0-9\s]"  # ascii-symbol definition, portable across engines
 NONSPACE_RE = r"\S"
 
+# Java-regex \s / \w are ASCII-only; these literal char sets let the hot
+# path use translate() (single char-map pass, no regex engine, stays in
+# whole-stage codegen) instead of regexp_replace string rewrites — ~4x
+# cheaper per the microbench in BENCH/BASELINE.md.
+_WS_CHARS = " \t\n\x0b\f\r"  # == Java regex \\s (ASCII)
+_WORD_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+
 
 def n_words_col(text: Column) -> Column:
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, WORD_SPLIT_RE))
-    )
+    """Count of maximal non-whitespace runs (== len(trim(t).split(\\s+))
+    for normal text, and correctly 0 for empty/whitespace-only input)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def symbol_ratio_col(text: Column) -> Column:
-    """non-alphanumeric non-space chars / non-space chars (unicode letters
-    counted as symbols deliberately NOT — \\w covers them via regexp)."""
-    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
-    # symbols = non-space minus unicode word chars
-    wordchars = F.length(F.regexp_replace(text, r"[^\w]", ""))
+    """non-word non-space chars / non-space chars (ASCII \\s and \\w
+    classes, matching Java regex semantics — via translate, not regex)."""
+    nonspace = F.length(F.translate(text, _WS_CHARS, ""))
+    # wordchars = total - non-word chars
+    wordchars = F.length(text) - F.length(F.translate(text, _WORD_CHARS, ""))
     symbols = nonspace - wordchars
     return F.when(nonspace == 0, F.lit(0.0)).otherwise(
         symbols.cast("double") / nonspace.cast("double")

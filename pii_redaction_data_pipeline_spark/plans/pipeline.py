@@ -29,14 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pii_redaction_data_pipeline_spark.config import PipelineConfig
-from pii_redaction_data_pipeline_spark.functions.langid import make_langid_udf
-from pii_redaction_data_pipeline_spark.functions.perplexity import make_ppl_udf
+from pii_redaction_data_pipeline_spark.functions.fused import make_annotate_udf
 from pii_redaction_data_pipeline_spark.functions.quality import (
-    make_repetition_udf,
     n_words_col,
     symbol_ratio_col,
 )
-from pii_redaction_data_pipeline_spark.functions.scrub import make_scrub_udf
 from pii_redaction_data_pipeline_spark.operators.windows import with_conversation_flags
 from pii_redaction_data_pipeline_spark.sources.lineage import LineageStore
 from pii_redaction_data_pipeline_spark.sources.tables import (
@@ -51,10 +48,7 @@ MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"
 def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = None) -> DataFrame:
     """transcripts -> annotated (adds lang, lang_conf, ppl, heuristic cols,
     keep, drop_reasons, scrubbed_text, scrub_counts)."""
-    langid_udf = make_langid_udf()
-    scrub_udf = make_scrub_udf()
-    ppl_udf = make_ppl_udf(spark)
-    rep_udf = make_repetition_udf()
+    fused_udf = make_annotate_udf(spark)
 
     text = F.col("text")
 
@@ -78,26 +72,25 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
         )
 
     # --- narrow, Arrow-batched stages (no shuffle) ---
-    df = df.withColumn("_lid", langid_udf(text))
-    df = df.withColumn("_scrub", scrub_udf(text))
+    # ONE fused pandas UDF (langid + scrub + ppl-on-stripped-scrubbed +
+    # repetition): the text column crosses the JVM<->Python Arrow pipe
+    # once instead of four times (functions/fused.py). The remaining
+    # heuristics are regex-free codegen expressions (translate /
+    # regexp_count — functions/quality.py).
+    df = df.withColumn("_ann", fused_udf(text))
     df = (
-        df.withColumn("lang", F.col("_lid.lang"))
-        .withColumn("lang_conf", F.col("_lid.lang_conf"))
-        .withColumn("_scrubbed", F.col("_scrub.scrubbed_text"))
-        .withColumn("_counts", F.col("_scrub.scrub_counts"))
-        .drop("_lid", "_scrub")
+        df.withColumn("lang", F.col("_ann.lang"))
+        .withColumn("lang_conf", F.col("_ann.lang_conf"))
+        .withColumn("_scrubbed", F.col("_ann.scrubbed_text"))
+        .withColumn("_counts", F.col("_ann.scrub_counts"))
+        .withColumn("ppl", F.col("_ann.ppl"))
+        .withColumn("rep_frac", F.col("_ann.rep_frac"))
+        .drop("_ann")
     )
-    # ppl on scrubbed text with mask tokens stripped (fluency of the
-    # non-PII content; mask tokens are not English)
-    stripped = F.trim(
-        F.regexp_replace(F.regexp_replace(F.col("_scrubbed"), MASK_TOKEN_RE, " "), r"\s+", " ")
-    )
-    df = df.withColumn("ppl", ppl_udf(stripped))
     df = (
         df.withColumn("n_chars", F.length(text))
         .withColumn("n_words", n_words_col(text))
         .withColumn("symbol_ratio", symbol_ratio_col(text))
-        .withColumn("rep_frac", rep_udf(text))
     )
 
     # --- conversation windows: phase 2, the unsalted conv_id shuffle ---

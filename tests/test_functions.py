@@ -67,3 +67,55 @@ def test_repetition_stat():
     assert rep.iloc[0] > CFG.max_top3gram_frac
     assert rep.iloc[1] <= CFG.max_top3gram_frac
     assert rep.iloc[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# segmentation + greedy packing (reference backend/src/segment.py:82-114)
+# ---------------------------------------------------------------------------
+
+
+def test_break_sentence_fixed_width():
+    from pii_redaction_data_pipeline_spark.functions.segment import break_sentence
+
+    s = "abcdefghij"  # 10 chars
+    assert break_sentence(s, 4) == ["abcd", "efgh", "ij"]
+    assert break_sentence(s, 10) == ["abcdefghij"]
+    assert break_sentence("", 4) == []
+
+
+def test_pack_segments_reference_semantics():
+    from pii_redaction_data_pipeline_spark.functions.segment import pack_segments
+
+    # three sentences of 10 chars each (incl. trailing space), budget 25:
+    # greedy pack -> first two together, third alone
+    text = "aaaaaaaa. bbbbbbbb. cccccccc."
+    segs = pack_segments(text, seg_len=25)
+    assert segs == ["aaaaaaaa. bbbbbbbb. ", "cccccccc."]
+    # coverage: concatenation reproduces the input exactly
+    assert "".join(segs) == text
+    # oversized sentence is hard-broken first
+    segs2 = pack_segments("x" * 55, seg_len=20)
+    assert "".join(segs2) == "x" * 55
+    assert all(len(s) <= 20 for s in segs2)
+    # reference quirk: empty input still yields one (empty) segment
+    assert pack_segments("", seg_len=10) == [""]
+
+
+def test_segment_udf_spark(spark):
+    from pyspark.sql import functions as F
+
+    from pii_redaction_data_pipeline_spark.functions.segment import (
+        make_segment_udf,
+        pack_segments,
+    )
+
+    texts = [
+        "one sentence only.",
+        "first part here. second part here. third bit much longer now.",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    seg = make_segment_udf(seg_len=30)
+    got = {r["id"]: r["segs"] for r in df.select("id", seg("text").alias("segs")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == pack_segments(t, 30), (i, got[i])
