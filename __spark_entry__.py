@@ -411,6 +411,26 @@ def q_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, probes, k=3).orderBy("probe_id", "rank")
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all (a,b) with cosine
+    similarity above threshold (brute-force; the LSH-bucketed scale path
+    is ann_lsh). Dot/norm via F.aggregate/F.zip_with — JVM-side."""
+    from pii_redaction_data_pipeline_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary column + typed metadata (JVM path)."""
     docs = _t(spark, sf_dir, "documents")
@@ -666,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "multimodal_meta": q_multimodal_meta,
+        "embed_neardup": q_embed_neardup,
         "j3_theta_contains": q_j3_theta_contains,
         "s4_merge_parts": q_s4_merge_parts,
         "a1_status_map": q_a1_status_map,
@@ -897,6 +918,18 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY doc_id
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 400 AND b.vec_id < 400
+              AND round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "j3_theta_contains": """
             SELECT needle, count(*) AS n_docs,

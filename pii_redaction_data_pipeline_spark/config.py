@@ -48,6 +48,14 @@ class PipelineConfig:
     # conversation-window rules
     tool_loop_min_run: int = 3  # >= this many identical consecutive tool turns
 
+    # Keep the raw pre-scrub text column in the annotated output.
+    # False mirrors the reference's retain_orig_docs=false (originals
+    # deleted after redaction, reference backend/src/lambda/
+    # redact.py:240-243) and at corpus scale roughly halves the bytes
+    # through the conv_id shuffle and the output table — the scrubbed
+    # text is the product; the raw text is a liability.
+    retain_original_text: bool = True
+
     # execution knobs
     n_buckets: int = 16  # output partition buckets on conv_id
     salt_buckets: int = 8  # salting factor for skewed conv_id repartition

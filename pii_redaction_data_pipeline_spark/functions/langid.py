@@ -9,10 +9,22 @@ this offline container, so this fully deterministic classifier is the
 shipped model; it shares the fastText contract (label + confidence) so a
 real model can be swapped in via the same UDF factory.
 
-Vectorized: every signal is a `pd.Series.str.count` over the Arrow batch.
+Vectorization: the whole Arrow batch is scanned ONCE —
+  * one combined stopword regex pass over the batch's concatenated text
+    (instead of one alternation pass per language), attributed back to
+    rows/languages with numpy searchsorted + add.at;
+  * script detection (CJK/Cyrillic) as numpy codepoint-range masks over
+    the UTF-32 view, per-row counts via a cumsum-slice (no regex);
+  * the unicode-letter count (only needed as the Cyrillic-share
+    denominator) is computed lazily on the rare rows containing any
+    Cyrillic at all.
+`langid_frame_reference` keeps the original per-pattern pandas
+implementation; tests pin exact equality between the two.
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 import pandas as pd
@@ -37,21 +49,44 @@ _CJK_RE = r"[一-鿿぀-ヿ]"
 _CYRILLIC_RE = r"[Ѐ-ӿ]"
 _ALPHA_RE = r"[^\W\d_]"  # unicode letters
 
+# combined single-pass machinery: every stopword of every language in one
+# alternation; a word may belong to several languages (e.g. 'una' is both
+# es and it), so the map is word -> tuple of language indices.
+_ALL_WORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+_COMBINED_RE = re.compile(r"\b(?:" + "|".join(_ALL_WORDS) + r")\b")
+# capturing variant for re.split: pieces alternate [gap, word, gap, ...],
+# giving findall-speed scanning (no per-hit Match objects) with positions
+# recovered from piece lengths
+_COMBINED_SPLIT_RE = re.compile(r"\b(" + "|".join(_ALL_WORDS) + r")\b")
+_WORD_TO_ID: dict[str, int] = {w: i for i, w in enumerate(_ALL_WORDS)}
+# word-id -> one-hot-ish language membership row ('una' is both es and it)
+_LANG_MAT = np.zeros((len(_ALL_WORDS), len(LATIN_LANGS)), dtype=np.float64)
+for _w, _wid in _WORD_TO_ID.items():
+    for _li, _lang in enumerate(LATIN_LANGS):
+        if _w in STOPWORDS[_lang]:
+            _LANG_MAT[_wid, _li] = 1.0
+_ALPHA_PAT = re.compile(_ALPHA_RE)
 
-def langid_frame(texts: pd.Series) -> pd.DataFrame:
-    """-> DataFrame(lang:str, lang_conf:float64) per input row."""
-    s = texts.fillna("").str.lower()
-    n_chars = s.str.len().to_numpy().clip(min=1)
-    cjk = s.str.count(_CJK_RE).to_numpy()
-    cyr = s.str.count(_CYRILLIC_RE).to_numpy()
-    letters = s.str.count(_ALPHA_RE).to_numpy()
 
-    counts = np.stack(
-        [s.str.count(_WORD_RES[lang]).to_numpy() for lang in LATIN_LANGS], axis=1
-    ).astype(np.float64)
+def _counts_by_row(mask: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per-row sums of a boolean mask over concatenated text (empty-row safe)."""
+    cs = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+    return cs[ends] - cs[starts]
+
+
+def _verdict(
+    texts: pd.Series,
+    n_chars: np.ndarray,
+    cjk: np.ndarray,
+    cyr: np.ndarray,
+    letters_fn,
+    counts: np.ndarray,
+) -> pd.DataFrame:
+    """Shared tail: stopword argmax + script overrides (identical math in
+    the fast and reference paths)."""
     total = counts.sum(axis=1)
     best_idx = counts.argmax(axis=1)  # ties -> first (fixed LATIN_LANGS order)
-    best = counts[np.arange(len(s)), best_idx]
+    best = counts[np.arange(len(texts)), best_idx]
     with np.errstate(divide="ignore", invalid="ignore"):
         conf = np.where(total > 0, best / np.maximum(total, 1.0), 0.0)
 
@@ -62,7 +97,8 @@ def langid_frame(texts: pd.Series) -> pd.DataFrame:
 
     # script overrides (high confidence by construction)
     cjk_frac = cjk / n_chars
-    # `letters` already includes Cyrillic — share of letters that are Cyrillic
+    # letters include Cyrillic — share of letters that are Cyrillic
+    letters = letters_fn()
     cyr_frac = np.divide(cyr, np.maximum(letters, 1))
     is_cjk = cjk_frac > 0.15
     is_cyr = cyr_frac > 0.5
@@ -75,6 +111,79 @@ def langid_frame(texts: pd.Series) -> pd.DataFrame:
         {"lang": lang.astype(object), "lang_conf": conf.astype(np.float64)},
         index=texts.index,
     )
+
+
+def langid_frame(texts: pd.Series) -> pd.DataFrame:
+    """-> DataFrame(lang:str, lang_conf:float64) per input row (fast path)."""
+    s = texts.fillna("").str.lower()
+    vals = s.tolist()
+    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=len(vals))
+    n_chars = lens.clip(min=1)
+
+    # concatenate with '\n' separators ('\n' is a word boundary, matches
+    # the per-row string start/end boundary semantics)
+    joined = "\n".join(vals)
+    # row r spans [starts[r], ends[r]) in codepoint coordinates
+    bounds = np.cumsum(lens + 1)
+    starts = bounds - (lens + 1)
+    ends = bounds - 1
+
+    # script detection only when any non-Latin-1 codepoint exists at all
+    # (pure-ASCII batches — the common case at corpus scale — skip the
+    # whole UTF-32 mask machinery)
+    if not joined.isascii():  # O(1): checks the string's internal kind
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        cjk_mask = ((cp >= 0x4E00) & (cp <= 0x9FFF)) | (
+            (cp >= 0x3040) & (cp <= 0x30FF)
+        )
+        cyr_mask = (cp >= 0x0400) & (cp <= 0x04FF)
+        cjk = _counts_by_row(cjk_mask, starts, ends)
+        cyr = _counts_by_row(cyr_mask, starts, ends)
+    else:
+        cjk = np.zeros(len(vals), dtype=np.int64)
+        cyr = cjk
+
+    # one combined stopword pass over the whole batch (re.split with a
+    # capture: C-speed scan, no per-hit Match objects); word positions
+    # come from cumulative piece lengths, attribution is numpy bincount
+    counts = np.zeros((len(vals), len(LATIN_LANGS)), dtype=np.float64)
+    pieces = _COMBINED_SPLIT_RE.split(joined)
+    if len(pieces) > 1:
+        piece_lens = np.fromiter(map(len, pieces), dtype=np.int64, count=len(pieces))
+        piece_starts = np.concatenate([[0], np.cumsum(piece_lens[:-1])])
+        positions = piece_starts[1::2]  # odd pieces are the matched words
+        words = pieces[1::2]
+        rows = np.searchsorted(bounds, positions, side="right")
+        wids = np.fromiter(
+            (_WORD_TO_ID[w] for w in words), dtype=np.int64, count=len(words)
+        )
+        for li in range(len(LATIN_LANGS)):
+            sel = _LANG_MAT[wids, li] > 0
+            if sel.any():
+                counts[:, li] = np.bincount(rows[sel], minlength=len(vals))
+
+    def letters_fn():
+        # needed only as the Cyrillic-share denominator -> compute on the
+        # (rare) rows that contain any Cyrillic at all
+        letters = np.zeros(len(vals), dtype=np.int64)
+        for i in np.nonzero(cyr > 0)[0]:
+            letters[i] = len(_ALPHA_PAT.findall(vals[i]))
+        return letters
+
+    return _verdict(texts, n_chars, cjk, cyr, letters_fn, counts)
+
+
+def langid_frame_reference(texts: pd.Series) -> pd.DataFrame:
+    """Original per-pattern pandas implementation (parity oracle for tests)."""
+    s = texts.fillna("").str.lower()
+    n_chars = s.str.len().to_numpy().clip(min=1)
+    cjk = s.str.count(_CJK_RE).to_numpy()
+    cyr = s.str.count(_CYRILLIC_RE).to_numpy()
+    letters = s.str.count(_ALPHA_RE).to_numpy()
+    counts = np.stack(
+        [s.str.count(_WORD_RES[lang]).to_numpy() for lang in LATIN_LANGS], axis=1
+    ).astype(np.float64)
+    return _verdict(texts, n_chars, cjk, cyr, lambda: letters, counts)
 
 
 _LANGID_SCHEMA = T.StructType(

@@ -1,0 +1,94 @@
+"""spark-submit entrypoint for the quality-filter pipeline.
+
+The north rule runs this engine "via spark-submit --py-files across
+multi-executor clusters". This module is that entrypoint: the package is
+zipped and shipped with --py-files, and this file is the driver program.
+
+    python scripts/make_pyfiles_zip.py                 # -> dist/pii_pipeline.zip
+    spark-submit --master <cluster-or-local[N]> \
+        --py-files dist/pii_pipeline.zip \
+        pii_redaction_data_pipeline_spark/job.py \
+        --input  /path/transcripts.parquet \
+        --output /path/annotated \
+        --lineage /path/lineage \
+        --run-id nightly-2026-08-16
+
+On a cluster the session master/executors come from spark-submit conf;
+when this script creates its own session (local smoke runs) it uses the
+same factory as the tests. Re-running with the same --run-id resumes
+from the lineage checkpoint (plans.pipeline.run_pipeline); pass a fresh
+run-id for a from-scratch run.
+
+Replaces the reference's submission path — S3 event -> machine-state
+Lambda -> Step Functions start_execution (reference
+backend/src/lambda/machine-state.py:29-99) — with a single driver
+program whose barriers are Spark stages, not task tokens.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="PII quality-filter pipeline job")
+    p.add_argument("--input", required=True, help="transcripts parquet/Iceberg path")
+    p.add_argument("--output", required=True, help="annotated table output path")
+    p.add_argument("--lineage", required=True, help="lineage/checkpoint table path")
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--master", default=None, help="override master (else spark-submit's)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--n-buckets", type=int, default=None)
+    p.add_argument("--allowed-langs", default=None, help="comma-separated, e.g. en,fr")
+    p.add_argument("--max-ppl", type=float, default=None)
+    p.add_argument(
+        "--drop-original-text",
+        action="store_true",
+        help="do not persist the raw pre-scrub text (reference "
+        "retain_orig_docs=false); halves shuffle/output bytes",
+    )
+    return p.parse_args(argv)
+
+
+def build_config(args: argparse.Namespace):
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    import dataclasses
+
+    overrides = {}
+    if args.n_buckets is not None:
+        overrides["n_buckets"] = args.n_buckets
+    if args.allowed_langs is not None:
+        overrides["allowed_langs"] = tuple(args.allowed_langs.split(","))
+    if args.max_ppl is not None:
+        overrides["max_ppl"] = args.max_ppl
+    if args.drop_original_text:
+        overrides["retain_original_text"] = False
+    return dataclasses.replace(PipelineConfig(), **overrides) if overrides else PipelineConfig()
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = parse_args(argv)
+    from pii_redaction_data_pipeline_spark import get_spark
+    from pii_redaction_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    spark = get_spark(
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        app_name=f"quality-filter:{args.run_id}",
+    )
+    summary = run_pipeline(
+        spark,
+        input_path=args.input,
+        output_path=args.output,
+        lineage_path=args.lineage,
+        run_id=args.run_id,
+        cfg=build_config(args),
+    )
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -99,22 +99,29 @@ def minhash_lsh_pairs(
     exact shingle jaccard. Returns (id_a, id_b, jaccard) with id_a<id_b."""
     rows = n_hashes // bands
     sig = make_minhash_udf(n_hashes, shingle_k, seed)
-    with_sig = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
-                         sig(F.col(text_col)).alias("sig"))
+    with_sig = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
 
+    # the band join carries ONLY (band, band_hash, id) — never the text.
+    # Texts re-join by id for the verify stage, so the 16x band explode
+    # shuffles ~24 bytes/row instead of the whole corpus.
     band_idx = F.explode(
         F.sequence(F.lit(0), F.lit(bands - 1))
     ).alias("band")
-    banded = with_sig.select("id", "txt", "sig", band_idx).withColumn(
+    banded = with_sig.select("id", "sig", band_idx).withColumn(
         "band_hash", F.xxhash64(F.slice("sig", F.col("band") * rows + 1, rows))
-    )
-    lhs = banded.select("band", "band_hash", F.col("id").alias("id_a"), F.col("txt").alias("txt_a"))
-    rhs = banded.select("band", "band_hash", F.col("id").alias("id_b"), F.col("txt").alias("txt_b"))
+    ).drop("sig")
+    lhs = banded.select("band", "band_hash", F.col("id").alias("id_a"))
+    rhs = banded.select("band", "band_hash", F.col("id").alias("id_b"))
     cand = (
         lhs.join(rhs, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "txt_a", "txt_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    cand = (
+        cand.join(texts.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a")), "id_a")
+        .join(texts.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b")), "id_b")
     )
     jac = make_jaccard_udf(shingle_k)
     return (

@@ -31,10 +31,17 @@ def with_conversation_flags(
     df: DataFrame,
     tool_loop_min_run: int = 3,
     text_col: str = "text",
+    hash_col: str | None = None,
 ) -> DataFrame:
-    """Add is_duplicate_turn / is_tool_loop boolean columns."""
+    """Add is_duplicate_turn / is_tool_loop boolean columns.
+
+    `hash_col` names a precomputed xxhash64(normalized text) column —
+    callers that drop the raw text before the conv_id shuffle
+    (cfg.retain_original_text=False) compute the hash upstream on the
+    salted partitioning and pass it here.
+    """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    h = F.xxhash64(_norm_text(F.col(text_col)))
+    h = F.col(hash_col) if hash_col else F.xxhash64(_norm_text(F.col(text_col)))
 
     # duplicate turn: same text-hash seen earlier in the conversation.
     # Tool turns are excluded — repeated tool output is the tool_loop

@@ -42,7 +42,7 @@ from pii_redaction_data_pipeline_spark.sources.tables import (
     with_bucket,
 )
 
-MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"
+MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"  # mask token format; ppl strips these (functions/fused.py)
 
 
 def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = None) -> DataFrame:
@@ -95,9 +95,22 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
 
     # --- conversation windows: phase 2, the unsalted conv_id shuffle ---
     # (explicit count again so AQE can't coalesce the five window sorts
-    # onto a handful of cores)
+    # onto a handful of cores). The dup-detection text hash is computed
+    # HERE, on the salted partitioning, so the raw text column need not
+    # survive into the shuffle when retain_original_text=False (the
+    # reference's retain_orig_docs=false: originals deleted after
+    # redaction, redact.py:240-243) — that halves phase-2 shuffle and
+    # output bytes at corpus scale.
+    from pii_redaction_data_pipeline_spark.operators.windows import _norm_text
+
+    df = df.withColumn("_th", F.xxhash64(_norm_text(text)))
+    if not cfg.retain_original_text:
+        df = df.drop("text")
     df = df.repartition(n_parts, "conv_id") if n_parts else df.repartition("conv_id")
-    df = with_conversation_flags(df, tool_loop_min_run=cfg.tool_loop_min_run)
+    df = with_conversation_flags(
+        df, tool_loop_min_run=cfg.tool_loop_min_run, hash_col="_th"
+    )
+    df = df.drop("_th")
 
     # --- verdict assembly (pure JVM expressions) ---
     lang_fail = (~F.col("lang").isin(*cfg.allowed_langs)) & (

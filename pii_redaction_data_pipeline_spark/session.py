@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # task-side (parallel) file commit: the default v1 renames every
+        # output file serially on the driver during commitJob — with
+        # partitionBy(bucket) writes producing tasks x buckets files,
+        # that serial tail grows WITH parallelism. v2's tradeoff
+        # (partial files visible on job failure) is safe here: the
+        # lineage checkpoint only marks buckets complete after the job
+        # succeeds, so a failed run's stragglers are overwritten on
+        # resume (dynamic partition overwrite).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_PARQUET_CODEC", "snappy"),

@@ -19,8 +19,7 @@ so a crash mid-run re-processes at most the in-flight buckets
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -45,9 +44,12 @@ class LineageStore:
         self.path = path
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        try:
+            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+        except AnalysisException:  # path does not exist yet (first run) —
+            # checked via the reader so s3://'hdfs:// paths work, not just
+            # the driver's local filesystem
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
 
     def completed_buckets(self, run_id: str) -> list[int]:
         df = self.read().filter(

@@ -119,3 +119,56 @@ def test_segment_udf_spark(spark):
     got = {r["id"]: r["segs"] for r in df.select("id", seg("text").alias("segs")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == pack_segments(t, 30), (i, got[i])
+
+
+# ---------------------------------------------------------------------------
+# fast-path parity: vectorized langid / ppl vs their reference scalar paths
+# ---------------------------------------------------------------------------
+
+LANGID_PARITY_TEXTS = [
+    "the cat sat on the mat and it is fine",
+    "le chat est dans la maison pour vous je crois",
+    "der hund ist nicht mit dem ich ein zu haus",
+    "el perro es que una por para con las usted",
+    "il cane che di non per sono una con questo della",
+    "una con",  # words shared between es and it (multi-language attribution)
+    "",
+    "   ",
+    "no stop words here xyzzy plugh",
+    "你好世界你好世界你好世界 hello",
+    "Привет мир как дела сегодня",
+    "mixed Привет the and is of to",
+    "punctuation! the, and. is; of: to?",
+    "l'est une affaire, n'est-ce pas? vous",
+    "123 456 789 the",
+    "\nthe\nand\n",
+    "a" * 500 + " the and is",
+]
+
+
+def test_langid_fast_matches_reference():
+    from pii_redaction_data_pipeline_spark.functions.langid import (
+        langid_frame,
+        langid_frame_reference,
+    )
+
+    s = pd.Series(LANGID_PARITY_TEXTS + [None])
+    fast = langid_frame(s)
+    ref = langid_frame_reference(s)
+    assert list(fast["lang"]) == list(ref["lang"])
+    np.testing.assert_allclose(
+        fast["lang_conf"].to_numpy(), ref["lang_conf"].to_numpy(), rtol=0, atol=0
+    )
+
+
+def test_ppl_series_matches_scalar():
+    m = default_model()
+    texts = pd.Series(
+        list(CLEAN_SENTENCES)
+        + ["", "a", "ab", "  ", "ZZZZ@@@@!!!", "the the the", None, "x" * 2000]
+    )
+    vec = m.ppl_series(texts)
+    # float32-pairwise-mean (scalar) vs float64-cumsum (vectorized): agree
+    # to ~1e-7 relative; gate thresholds have 2x margins so 1e-5 is strict
+    for i, t in enumerate(texts.fillna("")):
+        assert abs(vec.iloc[i] - m.ppl(t)) <= 1e-5 * max(m.ppl(t), 1.0), (i, t[:40])

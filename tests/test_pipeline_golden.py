@@ -80,3 +80,24 @@ def test_lineage_totals(spark, tiny, tiny_annotated):
         .collect()
     )
     assert {r.r: r["count"] for r in reasons} == {r.r: r["count"] for r in lin_reasons}
+
+
+def test_drop_original_text_mode(spark, tiny):
+    """retain_original_text=False (reference retain_orig_docs=false,
+    redact.py:240-243): raw text absent from the output, verdicts and
+    scrubbed text identical to the retaining run."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+    import dataclasses
+
+    src = spark.read.parquet(tiny[0])
+    keep_cfg = PipelineConfig()
+    drop_cfg = dataclasses.replace(keep_cfg, retain_original_text=False)
+    a = annotate(src, keep_cfg, spark)
+    b = annotate(src, drop_cfg, spark)
+    assert "text" in a.columns and "text" not in b.columns
+
+    cols = ["conv_id", "turn_idx", "keep", "drop_reasons", "scrubbed_text"]
+    ra = a.select(*cols).orderBy("conv_id", "turn_idx").collect()
+    rb = b.select(*cols).orderBy("conv_id", "turn_idx").collect()
+    assert ra == rb

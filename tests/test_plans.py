@@ -1,0 +1,104 @@
+"""Physical-plan regression tests: the plans we want at 100 TB, pinned.
+
+Catches silent regressions that correctness tests can't see: a filter
+that stops reaching the parquet scan, a broadcast join that degrades to
+sort-merge, or an extra shuffle sneaking into the pipeline.
+"""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(E.queries()["p4_time_range"](spark, SF))
+    assert "PushedFilters:" in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "ts" in m.group(1), m.group(0) if m else plan[:500]
+
+
+def test_column_pruning_reaches_scan(spark):
+    # 2-column projection from the 5-column documents table
+    plan = plan_of(E.queries()["fingerprint"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(E.queries()["join_3way"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # nation (25 rows) must never be the shuffled side
+    assert "BroadcastExchange" in plan
+
+
+def test_theta_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(E.queries()["j3_theta_contains"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_anti_join_strategy(spark):
+    plan = plan_of(E.queries()["j2_anti_resume"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_pipeline_exchange_budget(spark):
+    """The annotate plan pays exactly its two designed exchanges (salted
+    repartition + conv_id repartition); the window stack must reuse the
+    conv_id partitioning rather than re-shuffling per window spec."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+
+    src = spark.read.parquet(os.path.join(SF, "documents.parquet")).selectExpr(
+        "source as conv_id",
+        "cast(doc_id as int) as turn_idx",
+        "'user' as role",
+        "text",
+        "cast(null as string) as tool",
+        "current_timestamp() as ts",
+    )
+    plan = plan_of(annotate(src, PipelineConfig(), spark))
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}:\n{plan[:2000]}"
+    # exactly one Python stage: the fused annotate UDF
+    n_python = len(re.findall(r"ArrowEvalPython", plan))
+    assert n_python == 1, f"expected 1 ArrowEvalPython, got {n_python}"
+
+
+def test_pipeline_python_before_shuffle(spark):
+    """The fused UDF must run under the SALTED partitioning (before the
+    conv_id exchange), so skewed conversations can't stall UDF tasks."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+
+    src = spark.read.parquet(os.path.join(SF, "documents.parquet")).selectExpr(
+        "source as conv_id",
+        "cast(doc_id as int) as turn_idx",
+        "'user' as role",
+        "text",
+        "cast(null as string) as tool",
+        "current_timestamp() as ts",
+    )
+    plan = plan_of(annotate(src, PipelineConfig(), spark))
+    # in executedPlan text, operators print top-down (sink first): the
+    # conv_id-only exchange must appear ABOVE the python eval, which in
+    # turn sits above the salted (conv_id + salt) exchange
+    py = plan.index("ArrowEvalPython")
+    salted = [m.start() for m in re.finditer(r"Exchange hashpartitioning\(conv_id[^)]*_salt", plan)]
+    conv_only = [
+        m.start()
+        for m in re.finditer(r"Exchange hashpartitioning\(conv_id#\d+, \d+\)", plan)
+    ]
+    assert salted and conv_only, plan[:2000]
+    assert conv_only[0] < py < salted[0], (conv_only, py, salted)
