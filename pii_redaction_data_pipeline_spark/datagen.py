@@ -411,11 +411,14 @@ def write_parquet(scale: str, out_dir: str) -> tuple[str, str]:
         ]
     )
     # small row groups so Spark's byte-range splits can actually
-    # parallelize the scan (one giant row group = one task)
+    # parallelize the scan (one giant row group = one task): ~16k rows
+    # per group => ~128 groups at bench scale, enough natural splits
+    # that the pipeline's adaptive phase-1 skips its repartition the
+    # same way a many-file 100 TB table would
     pq.write_table(
         pa.Table.from_pandas(tdf, schema=schema, preserve_index=False),
         tp,
-        row_group_size=65536,
+        row_group_size=16384,
     )
     lschema = pa.schema(
         [

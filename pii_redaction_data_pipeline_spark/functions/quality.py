@@ -56,17 +56,21 @@ def symbol_ratio_col(text: Column) -> Column:
 def repetition_frac_series(texts: pd.Series) -> pd.Series:
     """Fraction of characters covered by the most frequent word 3-gram.
 
-    Deterministic: ties don't matter (only the max count is used).
+    Deterministic: ties resolve to the first-seen gram (Counter preserves
+    insertion order; most_common's sort is stable), and the gram is keyed
+    as a word TUPLE — same counts and same tie order as joining with
+    spaces, without building len(words) strings per row; the joined gram
+    length is recovered as sum(word lens) + 2 separators.
     """
     out = np.zeros(len(texts), dtype=np.float64)
     for i, t in enumerate(texts.fillna("")):
         words = t.split()
         if len(words) < 3:
             continue
-        grams = [" ".join(words[j : j + 3]) for j in range(len(words) - 2)]
-        gram, cnt = Counter(grams).most_common(1)[0]
+        gram, cnt = Counter(zip(words, words[1:], words[2:])).most_common(1)[0]
         if cnt > 1:
-            out[i] = min(cnt * len(gram) / max(len(t), 1), 1.0)
+            gram_len = len(gram[0]) + len(gram[1]) + len(gram[2]) + 2
+            out[i] = min(cnt * gram_len / max(len(t), 1), 1.0)
     return pd.Series(out, index=texts.index)
 
 

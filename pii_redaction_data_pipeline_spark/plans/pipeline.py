@@ -53,23 +53,31 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     text = F.col("text")
 
     # --- two-phase partitioning (SURVEY.md §4 skew handling) ---
-    # Phase 1: salted conv_id repartition with an EXPLICIT partition count
-    # before the heavy Python stages. Explicit counts matter twice: a
-    # degenerate scan layout (one fat row group) would otherwise starve
-    # the UDF stages, and AQE's advisory coalescing must not shrink the
-    # exchange below the core count. Salting spreads skewed 30k-turn
-    # conversations across workers — safe because these stages are
-    # strictly per-row.
+    # Phase 1 is ADAPTIVE: the per-row UDF stages need no conv_id
+    # locality at all — they only need enough balanced input splits to
+    # keep every core busy. When the scan already provides that (byte-
+    # range parquet splits are balanced by construction; at corpus scale
+    # natural splits >> cores), the UDFs run DIRECTLY on the scan
+    # partitions, pipelined in the same stage — shuffling 100 TB just to
+    # rearrange rows that are processed independently would be the
+    # single biggest waste in the plan. Only a degenerate layout (few
+    # fat splits < target, e.g. one local file) pays a salted conv_id
+    # repartition with an EXPLICIT partition count — explicit so AQE's
+    # advisory coalescing can't shrink the exchange below the core
+    # count, salted so a skewed 30k-turn conversation spreads across
+    # workers (safe: these stages are strictly per-row).
     n_parts = None
     if spark is not None:
         n_parts = spark.sparkContext.defaultParallelism * 2
-        from pii_redaction_data_pipeline_spark.operators.skew import (
-            salted_repartition,
-        )
+        n_src = df.rdd.getNumPartitions()
+        if n_src < n_parts:
+            from pii_redaction_data_pipeline_spark.operators.skew import (
+                salted_repartition,
+            )
 
-        df = salted_repartition(
-            df, salt_buckets=cfg.salt_buckets, num_partitions=n_parts
-        )
+            df = salted_repartition(
+                df, salt_buckets=cfg.salt_buckets, num_partitions=n_parts
+            )
 
     # --- narrow, Arrow-batched stages (no shuffle) ---
     # ONE fused pandas UDF (langid + scrub + ppl-on-stripped-scrubbed +
@@ -253,7 +261,22 @@ def run_pipeline(
     # — with Iceberg this is partition pruning on the metadata scan)
     part = src.filter(F.col(BUCKET_COL).isin(todo))
     ann = annotate(part, cfg, spark)
+
+    # run-level totals ride ALONG the write job via the Observation API
+    # (no extra pass over the data); per-bucket lineage still comes from
+    # a column-pruned re-read of what was actually persisted.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"pipeline-{run_id}")
+    ann = ann.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("keep").cast("long")).alias("rows_out"),
+        F.sum(F.size(F.map_values(F.coalesce(
+            F.col("scrub_counts"), F.create_map())))).alias("pii_types_hit"),
+    )
     io.write_bucketed(ann, output_path)
+    run_totals = dict(obs.get)
 
     out = spark.read.parquet(output_path).filter(F.col(BUCKET_COL).isin(todo))
     metrics = lineage_metrics(out, run_id, buckets=todo)
@@ -266,4 +289,5 @@ def run_pipeline(
         "run_id": run_id,
         "processed_buckets": todo,
         "resumed": bool(done),
+        "totals": run_totals,
     }

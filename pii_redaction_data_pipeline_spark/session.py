@@ -65,7 +65,7 @@ def get_spark(
         # the submitter sizes this to input volume (128-256 MB).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
     )
     if extra_conf:

@@ -53,14 +53,8 @@ def test_anti_join_strategy(spark):
     assert "LeftAnti" in plan
 
 
-def test_pipeline_exchange_budget(spark):
-    """The annotate plan pays exactly its two designed exchanges (salted
-    repartition + conv_id repartition); the window stack must reuse the
-    conv_id partitioning rather than re-shuffling per window spec."""
-    from pii_redaction_data_pipeline_spark.config import PipelineConfig
-    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
-
-    src = spark.read.parquet(os.path.join(SF, "documents.parquet")).selectExpr(
+def _transcript_src(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet")).selectExpr(
         "source as conv_id",
         "cast(doc_id as int) as turn_idx",
         "'user' as role",
@@ -68,12 +62,38 @@ def test_pipeline_exchange_budget(spark):
         "cast(null as string) as tool",
         "current_timestamp() as ts",
     )
-    plan = plan_of(annotate(src, PipelineConfig(), spark))
+
+
+def test_pipeline_exchange_budget_degenerate_scan(spark):
+    """A degenerate (few-split) scan pays exactly the two designed
+    exchanges: the salted phase-1 repartition + the conv_id repartition;
+    the window stack must reuse the conv_id partitioning rather than
+    re-shuffling per window spec."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+
+    plan = plan_of(annotate(_transcript_src(spark), PipelineConfig(), spark))
     n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}:\n{plan[:2000]}"
     # exactly one Python stage: the fused annotate UDF
     n_python = len(re.findall(r"ArrowEvalPython", plan))
     assert n_python == 1, f"expected 1 ArrowEvalPython, got {n_python}"
+
+
+def test_pipeline_adaptive_skips_phase1(spark):
+    """When the scan already has >= 2x-cores balanced splits (the 100 TB
+    case), phase 1 must NOT shuffle: the UDFs run on the scan partitions
+    and the conv_id exchange is the plan's ONLY shuffle."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+
+    wide = _transcript_src(spark).repartition(64)  # stands in for many files
+    plan = plan_of(annotate(wide, PipelineConfig(), spark))
+    # count exchanges INTRODUCED by annotate: total minus the RoundRobin
+    # one from the test's own repartition(64)
+    n_hash = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+    assert "_salt" not in plan
 
 
 def test_pipeline_python_before_shuffle(spark):
