@@ -338,6 +338,23 @@ def q_quality_heuristics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quality_score(spark, sf_dir):
+    """Composite 0..1 quality score (functions/text_stats.quality_score)
+    over SQL-expressible inputs (rep_frac pinned 0 here — the pandas-UDF
+    repetition stat is exercised by the pipeline queries)."""
+    from pii_redaction_data_pipeline_spark.functions.text_stats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    nonspace = F.length(F.regexp_replace(t, "\\s", ""))
+    symbols = nonspace - F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    sr = symbols / F.greatest(nonspace, F.lit(1))
+    score = quality_score(F.length(t), F.regexp_count(t, F.lit(r"\S+")), sr, F.lit(0.0))
+    return docs.select(
+        "doc_id", F.round(score, 6).alias("quality")
+    ).orderBy("doc_id")
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace words + BPE-ish pre-tokens."""
     docs = _t(spark, sf_dir, "documents")
@@ -679,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text / training-data ops
         "scrub_sql": q_scrub_sql,
         "quality_heuristics": q_quality_heuristics,
+        "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -848,6 +866,20 @@ def oracle_sql() -> dict[str, str]:
                           / greatest(length(regexp_replace(text, '\s', '', 'g')), 1), 6) AS symbol_ratio,
                    length(text) < 100 AS too_short,
                    length(text) > 350 AS too_long
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": r"""
+            SELECT doc_id,
+                   round(greatest(1.0 - (
+                       (CASE WHEN length(text) < 10 THEN 1.0
+                             WHEN length(text) > 8000 THEN 0.5 ELSE 0.0 END)
+                       + (CASE WHEN len(regexp_extract_all(text, '\S+')) < 3
+                               THEN 1.0 ELSE 0.0 END)
+                       + least(((length(regexp_replace(text, '\s', '', 'g'))
+                                 - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+                                / greatest(length(regexp_replace(text, '\s', '', 'g')), 1)) * 2.0,
+                               1.0)
+                       + 0.0) / 4.0, 0.0), 6) AS quality
             FROM documents ORDER BY doc_id
         """,
         "token_count": r"""

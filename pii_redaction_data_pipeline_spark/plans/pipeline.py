@@ -50,6 +50,11 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     keep, drop_reasons, scrubbed_text, scrub_counts)."""
     fused_udf = make_annotate_udf(spark)
 
+    # normalize NULL text to '' up front: every downstream rule treats ''
+    # as droppable (too_short), whereas raw NULLs would propagate through
+    # the JVM comparisons as NULL and silently fall out of the verdict
+    # (a NULL-text turn must never be kept)
+    df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     text = F.col("text")
 
     # --- two-phase partitioning (SURVEY.md §4 skew handling) ---

@@ -172,3 +172,28 @@ def test_ppl_series_matches_scalar():
     # to ~1e-7 relative; gate thresholds have 2x margins so 1e-5 is strict
     for i, t in enumerate(texts.fillna("")):
         assert abs(vec.iloc[i] - m.ppl(t)) <= 1e-5 * max(m.ppl(t), 1.0), (i, t[:40])
+
+
+def test_pack_segments_coverage_property():
+    """Property: segments always concatenate back to the exact input
+    (nothing lost or duplicated), and no segment exceeds the budget
+    unless a single unbreakable piece equals it."""
+    from hypothesis import given, settings, strategies as st
+
+    from pii_redaction_data_pipeline_spark.functions.segment import pack_segments
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.sampled_from(list("ab .!?\nXY")), min_size=0, max_size=400
+        ),
+        st.integers(min_value=1, max_value=50),
+    )
+    def prop(t, seg_len):
+        segs = pack_segments(t, seg_len)
+        assert "".join(segs) == t
+        # hard bound: break_sentence caps every sentence at seg_len and
+        # packing flushes before overflow, so no segment ever exceeds it
+        assert all(len(s) <= seg_len for s in segs)
+
+    prop()

@@ -104,3 +104,28 @@ def test_tool_turns_exempt_from_duplicate_rule(spark):
         ],
     )
     assert _flags(with_conversation_flags(df)) == [(False, False), (False, False)]
+
+
+def test_null_text_turn_is_dropped(spark):
+    """A NULL-text turn must be dropped (too_short), never silently kept
+    via NULL comparison propagation."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+
+    rows = [
+        ("c1", 0, "user", None, None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant",
+         "a perfectly fine long answer with plenty of normal words here.",
+         None, "2024-01-01 00:00:01"),
+        ("c1", 2, "user", "", None, "2024-01-01 00:00:02"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    out = {r["turn_idx"]: r for r in
+           annotate(df, PipelineConfig(), spark)
+           .select("turn_idx", "keep", "drop_reasons").collect()}
+    assert out[0]["keep"] is False and "too_short" in out[0]["drop_reasons"]
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and "too_short" in out[2]["drop_reasons"]
