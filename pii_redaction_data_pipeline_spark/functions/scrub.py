@@ -124,9 +124,11 @@ def scrub_text_value(text: str) -> tuple[str, dict[str, int]]:
     return text, counts
 
 
-# cheap literal prefilters: a pattern can only match rows containing its
-# trigger character, so the expensive regexes run on that subset only.
-# (pii_type, rx) -> trigger: EMAIL '@', IPv6 ':', all-numeric patterns a digit.
+# cheap prefilters: a pattern can only match rows containing its trigger
+# (a literal char or the digit-core prescan), so the expensive
+# count+replace scans run on that subset only. (A contains-prefilter for
+# the profanity list was measured SLOWER than the anchored count scan —
+# the (?i) unanchored alternation defeats re's literal optimizations.)
 _TRIGGERS: dict[int, str | None] = {}
 for _idx, (_t, _p, _l) in enumerate(PATTERNS):
     if _t == "EMAIL":
@@ -146,7 +148,12 @@ def scrub_frame(texts: pd.Series) -> pd.DataFrame:
     """
     s = texts.fillna("")
     per_type = {t: np.zeros(len(s), dtype=np.int64) for t in PII_TYPES}
-    has_digit = s.str.contains(r"[0-9]", regex=True).to_numpy()
+    # Every digit-triggered pattern (IPv4/SSN/CC/PHONE) requires three
+    # consecutive digits or a digit.digit core as a substring, so this
+    # single cheap prescan is a guaranteed superset of their matches —
+    # rows with only small scattered numbers ("returned 12 items") skip
+    # all four expensive pattern scans entirely.
+    has_digit = s.str.contains(r"[0-9]{3}|[0-9]\.[0-9]", regex=True).to_numpy()
 
     for pat_i, (pii_type, rx, needs_luhn) in enumerate(_COMPILED):
         trigger = _TRIGGERS[pat_i]
