@@ -44,6 +44,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--allowed-langs", default=None, help="comma-separated, e.g. en,fr")
     p.add_argument("--max-ppl", type=float, default=None)
     p.add_argument(
+        "--report",
+        default=None,
+        help="also write the 3-part run-quality CSV report here "
+        "(summary / drop-reason x lang matrix / scrub counts)",
+    )
+    p.add_argument(
         "--drop-original-text",
         action="store_true",
         help="do not persist the raw pre-scrub text (reference "
@@ -86,6 +92,13 @@ def main(argv: list[str] | None = None) -> dict:
         run_id=args.run_id,
         cfg=build_config(args),
     )
+    if args.report:
+        from pii_redaction_data_pipeline_spark.sources.report import (
+            write_quality_report,
+        )
+
+        write_quality_report(spark.read.parquet(args.output), args.report)
+        summary["report"] = args.report
     print(json.dumps(summary))
     return summary
 

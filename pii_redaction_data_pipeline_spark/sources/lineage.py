@@ -59,3 +59,13 @@ class LineageStore:
 
     def append(self, df: DataFrame):
         df.write.mode("append").parquet(self.path)
+
+    def status(self, run_id: str | None = None) -> DataFrame:
+        """The reference's status/read API (GET ?fetch=all / ?fetch=<id>,
+        reference backend/src/lambda/get-workflows.py:27-99 + the UI's
+        newest-first sort, useWorkflows.jsx:124) as a plain DataFrame
+        query: optional point filter, newest-first ordering."""
+        df = self.read()
+        if run_id is not None:
+            df = df.filter(F.col("run_id") == run_id)
+        return df.orderBy(F.col("finished_seq").desc(), "partition_id")
