@@ -10,9 +10,10 @@ filter pipeline over the synthetic transcript table at a scale matched
 to the sf dir (sf0.1 -> ~2M turns). Transcript input is generated once
 (deterministic, seeded) and cached under .bench_cache/.
 
-Set BENCH_SCALING=1 to also run the pipeline at local[8] vs local[32]
-in subprocesses and report scaling efficiency (BASELINE.md §targets);
-scripts/bench_scaling.py wraps this and writes BENCH/BASELINE.md.
+Set BENCH_SCALING=1 to also run the N-vs-4N scaling measurement
+(interleaved local[4/8/16/32] rounds with a same-moment hardware
+control, see run_scaling); scripts/bench_scaling.py wraps this and
+writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

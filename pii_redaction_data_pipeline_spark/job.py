@@ -93,11 +93,19 @@ def main(argv: list[str] | None = None) -> dict:
         cfg=build_config(args),
     )
     if args.report:
+        from pyspark.sql import functions as F
+
         from pii_redaction_data_pipeline_spark.sources.report import (
             write_quality_report,
         )
 
-        write_quality_report(spark.read.parquet(args.output), args.report)
+        # rows are stamped with their run_id (plans/pipeline.py), so the
+        # report scopes to THIS run even when the output path is reused
+        # and still holds other runs' rows in untouched buckets
+        out_df = spark.read.parquet(args.output).filter(
+            F.col("run_id") == args.run_id
+        )
+        write_quality_report(out_df, args.report)
         summary["report"] = args.report
     print(json.dumps(summary))
     return summary

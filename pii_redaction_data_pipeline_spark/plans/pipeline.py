@@ -266,6 +266,11 @@ def run_pipeline(
     # — with Iceberg this is partition pruning on the metadata scan)
     part = src.filter(F.col(BUCKET_COL).isin(todo))
     ann = annotate(part, cfg, spark)
+    # stamp provenance into the rows: a reused output path can hold other
+    # runs' rows in buckets this run never overwrites (dynamic overwrite
+    # only replaces buckets it writes to), so lineage and reports must
+    # scope by run_id, not by directory
+    ann = ann.withColumn("run_id", F.lit(run_id))
 
     # run-level totals ride ALONG the write job via the Observation API
     # (no extra pass over the data); per-bucket lineage still comes from
@@ -283,7 +288,9 @@ def run_pipeline(
     io.write_bucketed(ann, output_path)
     run_totals = dict(obs.get)
 
-    out = spark.read.parquet(output_path).filter(F.col(BUCKET_COL).isin(todo))
+    out = spark.read.parquet(output_path).filter(
+        F.col(BUCKET_COL).isin(todo) & (F.col("run_id") == run_id)
+    )
     metrics = lineage_metrics(out, run_id, buckets=todo)
     lineage.append(metrics)
 

@@ -68,4 +68,7 @@ class LineageStore:
         df = self.read()
         if run_id is not None:
             df = df.filter(F.col("run_id") == run_id)
-        return df.orderBy(F.col("finished_seq").desc(), "partition_id")
+        # partition_id is stored as string; order buckets numerically
+        return df.orderBy(
+            F.col("finished_seq").desc(), F.col("partition_id").cast("int")
+        )

@@ -7,7 +7,11 @@ analog is a 3-part CSV report per run over the annotated table:
 
   summary/   one row: rows_in, rows_kept, keep_rate, langs seen
   reasons/   drop-reason x language matrix (GROUPING-SETS-style rollup)
-  scrub/     PII-type counts across the run
+  scrub/     PII-type redaction counts in the KEPT rows (the annotated
+             table nulls scrub_counts for dropped rows by design — a
+             dropped row's text never ships, so its redactions are not
+             part of the delivered product; same convention as the
+             per-bucket lineage scrub_counts)
 
 CSV (not xlsx) because the report is itself data — the reference's xlsx
 exists for humans clicking in a console; downstream of a Spark pipeline

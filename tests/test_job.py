@@ -70,3 +70,37 @@ def test_job_main_end_to_end(tmp_path, spark):
         ]
     )
     assert summary2["processed_buckets"] == []
+
+
+def test_job_report_scoped_to_run(tmp_path, spark):
+    """--report must exclude stale buckets left in a reused output path
+    by a previous run-id (dynamic overwrite only replaces touched
+    buckets)."""
+    from pyspark.sql import functions as F
+
+    from pii_redaction_data_pipeline_spark.datagen import write_parquet
+
+    tp, _ = write_parquet("tiny", str(tmp_path))
+    out, lin = str(tmp_path / "annotated"), str(tmp_path / "lineage")
+
+    # run A: full input, all 16 buckets
+    job.main(["--input", tp, "--output", out, "--lineage", lin, "--run-id", "A"])
+
+    # run B: a single conversation -> a strict subset of buckets
+    full = spark.read.parquet(tp)
+    one_conv = full.filter(
+        F.col("conv_id") == full.select("conv_id").first()["conv_id"]
+    )
+    small_in = str(tmp_path / "small_in")
+    one_conv.write.parquet(small_in)
+    rep = str(tmp_path / "report")
+    job.main(
+        ["--input", small_in, "--output", out, "--lineage", lin,
+         "--run-id", "B", "--report", rep]
+    )
+
+    got = spark.read.option("header", "true").csv(f"{rep}/summary").first()
+    # the report counts only run B's buckets — the buckets run B actually
+    # overwrote hold exactly run B's rows
+    n_b = int(got["rows_in"])
+    assert n_b == one_conv.count(), (n_b, one_conv.count())

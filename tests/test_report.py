@@ -42,14 +42,38 @@ def test_write_quality_report_csv(spark, tiny_annotated, tmp_path):
         assert got.count() > 0
 
 
-def test_lineage_status_api(spark, tiny_annotated):
-    store = LineageStore(spark, tiny_annotated[1])
+def test_lineage_status_api(spark, tiny_annotated, tmp_path):
+    import shutil
+
+    # copy the fixture lineage so appending a second run can't pollute
+    # the session-scoped fixture for other tests
+    lp = str(tmp_path / "lineage")
+    shutil.copytree(tiny_annotated[1], lp)
+    store = LineageStore(spark, lp)
+
+    # append a NEWER run so ordering and filtering are non-vacuous
+    newer = store.read().limit(3).select(
+        F.lit("run-2").alias("run_id"),
+        F.col("partition_id"),
+        "rows_in",
+        "rows_out",
+        "drop_reason_counts",
+        "scrub_counts",
+        "status",
+        (F.col("finished_seq") + 1000).alias("finished_seq"),
+    )
+    store.append(newer)
+
     all_rows = store.status().collect()
-    assert len(all_rows) == 16
-    one = store.status(run_id="test-run").collect()
-    assert len(one) == 16
-    none = store.status(run_id="no-such-run").collect()
-    assert none == []
-    # newest-first ordering by finished_seq
+    assert len(all_rows) == 19
+    # newest-first: the 3 run-2 rows lead
+    assert [r["run_id"] for r in all_rows[:3]] == ["run-2"] * 3
     seqs = [r["finished_seq"] for r in all_rows]
     assert seqs == sorted(seqs, reverse=True)
+    # within a tie, buckets in NUMERIC order (not lexicographic)
+    first_run = [int(r["partition_id"]) for r in all_rows[3:]]
+    assert first_run == sorted(first_run)
+
+    assert len(store.status(run_id="test-run").collect()) == 16
+    assert len(store.status(run_id="run-2").collect()) == 3
+    assert store.status(run_id="no-such-run").collect() == []
