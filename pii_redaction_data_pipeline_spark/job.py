@@ -95,15 +95,24 @@ def main(argv: list[str] | None = None) -> dict:
     if args.report:
         from pyspark.sql import functions as F
 
+        from pii_redaction_data_pipeline_spark.sources.lineage import LineageStore
         from pii_redaction_data_pipeline_spark.sources.report import (
             write_quality_report,
         )
+        from pii_redaction_data_pipeline_spark.sources.tables import BUCKET_COL
 
         # rows are stamped with their run_id (plans/pipeline.py), so the
         # report scopes to THIS run even when the output path is reused
-        # and still holds other runs' rows in untouched buckets
-        out_df = spark.read.parquet(args.output).filter(
-            F.col("run_id") == args.run_id
+        # and still holds other runs' rows in untouched buckets. The
+        # bucket predicate prunes partitions at the scan (run_id is a
+        # data column and cannot); completed_buckets covers earlier
+        # sessions of a resumed run-id, not just this invocation's.
+        buckets = LineageStore(spark, args.lineage).completed_buckets(args.run_id)
+        out_df = spark.read.parquet(args.output)
+        if "run_id" not in out_df.columns:  # pre-run_id-column files
+            out_df = out_df.withColumn("run_id", F.lit(args.run_id))
+        out_df = out_df.filter(
+            F.col(BUCKET_COL).isin(buckets) & (F.col("run_id") == args.run_id)
         )
         write_quality_report(out_df, args.report)
         summary["report"] = args.report

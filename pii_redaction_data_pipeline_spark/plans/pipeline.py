@@ -288,9 +288,10 @@ def run_pipeline(
     io.write_bucketed(ann, output_path)
     run_totals = dict(obs.get)
 
-    out = spark.read.parquet(output_path).filter(
-        F.col(BUCKET_COL).isin(todo) & (F.col("run_id") == run_id)
-    )
+    out = spark.read.parquet(output_path)
+    if "run_id" not in out.columns:  # pre-run_id-column files (migration)
+        out = out.withColumn("run_id", F.lit(run_id))
+    out = out.filter(F.col(BUCKET_COL).isin(todo) & (F.col("run_id") == run_id))
     metrics = lineage_metrics(out, run_id, buckets=todo)
     lineage.append(metrics)
 
