@@ -659,6 +659,32 @@ def q_multimodal_decode_stub(spark, sf_dir):
     return decode_image_meta(docs).orderBy("doc_id")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (aspect-fit dims; stubbed codec)."""
+    from pii_redaction_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    docs = attach_binary(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    return resize_images(docs, max_side=224).select(
+        "doc_id", "width", "height", "out_w", "out_h"
+    ).orderBy("doc_id")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (1:N explode; stubbed demux)."""
+    from pii_redaction_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    docs = attach_binary(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+    return sample_frames(docs, every_ms=1000).select(
+        "doc_id", "frame_idx", "frame_ts_ms"
+    ).orderBy("doc_id", "frame_idx")
+
+
 def q_transcripts_pipeline(spark, sf_dir):
     """Full pipeline on the deterministic synthetic transcript fixtures."""
     from pii_redaction_data_pipeline_spark.config import PipelineConfig
@@ -720,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_decode_stub": q_multimodal_decode_stub,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "transcripts_pipeline": q_transcripts_pipeline,
     }
 

@@ -70,3 +70,77 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media").mapInPandas(op, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, resized binary, out_w int, out_h int"
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 224, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image resize plumbing via mapInPandas: computes the target
+    dimensions (aspect-preserving fit into max_side x max_side) for every
+    blob and emits a `resized` binary column. The pixel resample itself
+    is STUBBED behind the Pillow import (not in this container): without
+    a codec the original bytes pass through, but the dimension math,
+    schema, and batch shape are the production plumbing."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, buf in zip(pdf[id_col], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                w, h, _codec = _decode_one(b)
+                scale = min(max_side / max(w, 1), max_side / max(h, 1), 1.0)
+                ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+                try:
+                    import io
+
+                    from PIL import Image  # noqa: PLC0415
+
+                    img = Image.open(io.BytesIO(b)).resize((ow, oh))
+                    out = io.BytesIO()
+                    img.save(out, format="PNG")
+                    resized = out.getvalue()
+                except Exception:
+                    resized = b  # stub: pass-through bytes
+                rows.append((did, w, h, resized, ow, oh))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "resized", "out_w", "out_h"]
+            )
+
+    return df.select(id_col, "media").mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame-sampling plumbing (one row per sampled frame) via
+    mapInPandas — a 1:N exploding operator, which is why it cannot be a
+    scalar pandas UDF. The demux/decode is STUBBED (no av/ffmpeg in the
+    container): a deterministic fake duration is derived from the bytes
+    and each 'frame' is a content-addressed slice, so frame counts,
+    timestamps, schema, and the explode shape are real and tested."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, buf in zip(pdf[id_col], pdf["media"]):
+                b = bytes(buf) if buf is not None else b""
+                h = hashlib.sha256(b).digest()
+                duration_ms = 500 + int.from_bytes(h[:2], "big") % 9500
+                n_frames = max(duration_ms // every_ms, 1)
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    lo = (i * 17) % max(len(b), 1)
+                    rows.append((did, i, ts, b[lo : lo + 32]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame"]
+            )
+
+    return df.select(id_col, "media").mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)

@@ -197,3 +197,46 @@ def test_pack_segments_coverage_property():
         assert all(len(s) <= seg_len for s in segs)
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: resize + frame-sample (stubbed codecs, real shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_images_dims(spark):
+    from pii_redaction_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    df = attach_binary(
+        spark.createDataFrame(
+            [(1, "short"), (2, "a much longer text blob " * 10)], "doc_id long, text string"
+        )
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, max_side=100).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        # aspect-preserving fit into the budget, never upscaled
+        assert 1 <= r["out_w"] <= 100 and 1 <= r["out_h"] <= 100
+        assert r["out_w"] <= r["width"] and r["out_h"] <= r["height"]
+        assert r["resized"] is not None
+
+
+def test_sample_frames_explode_shape(spark):
+    from pii_redaction_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    df = attach_binary(
+        spark.createDataFrame([(7, "some video bytes stand-in")], "doc_id long, text string")
+    )
+    rows = sample_frames(df, every_ms=500).orderBy("frame_idx").collect()
+    assert len(rows) >= 1
+    assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+    assert [r["frame_ts_ms"] for r in rows] == [i * 500 for i in range(len(rows))]
+    # deterministic: same input -> same frames
+    again = sample_frames(df, every_ms=500).orderBy("frame_idx").collect()
+    assert rows == again
