@@ -119,6 +119,14 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     df = df.withColumn("_th", F.xxhash64(_norm_text(text)))
     if not cfg.retain_original_text:
         df = df.drop("text")
+    else:
+        # delta-encode the scrubbed text across the shuffle: for the
+        # (typical) PII-free row it equals the raw text, so shipping it
+        # twice wastes ~45% of the exchange's text bytes — NULL it when
+        # identical and reconstruct from `text` after the windows
+        df = df.withColumn(
+            "_scrubbed", F.when(F.col("_scrubbed") != text, F.col("_scrubbed"))
+        )
     df = df.repartition(n_parts, "conv_id") if n_parts else df.repartition("conv_id")
     df = with_conversation_flags(
         df, tool_loop_min_run=cfg.tool_loop_min_run, hash_col="_th"
@@ -159,8 +167,13 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     df = df.withColumn("drop_reasons", reasons).withColumn(
         "keep", F.size("drop_reasons") == 0
     )
+    scrubbed_full = (
+        F.coalesce(F.col("_scrubbed"), F.col("text"))
+        if cfg.retain_original_text
+        else F.col("_scrubbed")
+    )
     df = (
-        df.withColumn("scrubbed_text", F.when(F.col("keep"), F.col("_scrubbed")))
+        df.withColumn("scrubbed_text", F.when(F.col("keep"), scrubbed_full))
         .withColumn("scrub_counts", F.when(F.col("keep"), F.col("_counts")))
         .drop("_scrubbed", "_counts", "is_duplicate_turn", "is_tool_loop")
     )
