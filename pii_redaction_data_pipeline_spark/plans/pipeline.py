@@ -45,6 +45,28 @@ from pii_redaction_data_pipeline_spark.sources.tables import (
 MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"  # mask token format; ppl strips these (functions/fused.py)
 
 
+def tune_shuffle_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    target_partition_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Size spark.sql.shuffle.partitions to the actual input volume.
+
+    Spark's static default (or a cores-derived value) is wrong at both
+    extremes: 100 TB over a few hundred partitions spills and stragglers
+    dominate; 1 GB over 10k partitions drowns in task overhead. Uses the
+    optimizer's size estimate for the plan (file-scan statistics — a
+    driver-side metadata read, no job), clamped below by 2x cores so a
+    small input still uses the whole cluster. AQE may still coalesce
+    downward at runtime; this sets the ceiling it works under.
+    """
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    cores = spark.sparkContext.defaultParallelism
+    n = max((size + target_partition_bytes - 1) // target_partition_bytes, 2 * cores)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return int(n)
+
+
 def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = None) -> DataFrame:
     """transcripts -> annotated (adds lang, lang_conf, ppl, heuristic cols,
     keep, drop_reasons, scrubbed_text, scrub_counts)."""
@@ -73,7 +95,13 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     # workers (safe: these stages are strictly per-row).
     n_parts = None
     if spark is not None:
-        n_parts = spark.sparkContext.defaultParallelism * 2
+        # volume-tuned shuffle partitions (run_pipeline sets the conf via
+        # tune_shuffle_partitions), floored at 2x cores so AQE coalescing
+        # and tiny inputs can't under-parallelize the exchange
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            spark.sparkContext.defaultParallelism * 2,
+        )
         n_src = df.rdd.getNumPartitions()
         if n_src < n_parts:
             from pii_redaction_data_pipeline_spark.operators.skew import (
@@ -265,6 +293,7 @@ def run_pipeline(
     lineage = LineageStore(spark, lineage_path)
 
     src = io.read(input_path)
+    tune_shuffle_partitions(spark, src, cfg.target_partition_bytes)
     src = with_bucket(src, cfg.n_buckets)
 
     done = set(lineage.completed_buckets(run_id))

@@ -25,7 +25,7 @@ def get_spark(
     AQE is on so skewed shuffles re-plan at runtime; shuffle partitions
     default to the core count rather than Spark's 200 (local data is
     small per-partition; at 100 TB this is instead sized to input volume
-    by the submitter — see plans.pipeline.tune_shuffle_partitions).
+    by run_pipeline via plans.pipeline.tune_shuffle_partitions).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")

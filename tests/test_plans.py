@@ -122,3 +122,24 @@ def test_pipeline_python_before_shuffle(spark):
     ]
     assert salted and conv_only, plan[:2000]
     assert conv_only[0] < py < salted[0], (conv_only, py, salted)
+
+
+def test_tune_shuffle_partitions(spark):
+    """Volume-based sizing: floored at 2x cores for small inputs; grows
+    with the input size estimate for big ones."""
+    from pii_redaction_data_pipeline_spark.plans.pipeline import (
+        tune_shuffle_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        cores = spark.sparkContext.defaultParallelism
+        n = tune_shuffle_partitions(spark, docs)
+        assert n == 2 * cores  # tiny input -> floor
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+        # a 1 KB target forces the size term to dominate
+        n2 = tune_shuffle_partitions(spark, docs, target_partition_bytes=1024)
+        assert n2 > 2 * cores
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
