@@ -194,7 +194,69 @@ _LANGID_SCHEMA = T.StructType(
 )
 
 
-def make_langid_udf():
+def fasttext_langid_frame(texts: pd.Series, model) -> pd.DataFrame:
+    """Shared scoring path for a fastText(-compatible) model: an object
+    with predict(list[str], k=1) -> (labels, probs), labels prefixed
+    '__label__' (the lid.176 contract). Newlines are illegal in fastText
+    input and are flattened to spaces."""
+    cleaned = [t.replace("\n", " ") for t in texts.fillna("")]
+    labels, probs = model.predict(cleaned, k=1)
+    return pd.DataFrame(
+        {
+            "lang": [l[0].removeprefix("__label__") if l else "en" for l in labels],
+            "lang_conf": np.asarray([p[0] if len(p) else 0.0 for p in probs], dtype=np.float64),
+        },
+        index=texts.index,
+    )
+
+
+_FT_CACHE: dict[str, object] = {}
+
+
+def _load_fasttext(model_bytes: bytes, cache_key: str):
+    """Executor-local lazy singleton: write the broadcast bytes to a temp
+    file once per worker process and load with the fasttext runtime."""
+    if cache_key not in _FT_CACHE:
+        import os
+        import tempfile
+
+        import fasttext
+
+        fd, path = tempfile.mkstemp(suffix=".ftz")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(model_bytes)
+            _FT_CACHE[cache_key] = fasttext.load_model(path)
+        finally:
+            os.unlink(path)
+    return _FT_CACHE[cache_key]
+
+
+def make_langid_udf(fasttext_model_path: str | None = None, spark=None):
+    """Language-ID pandas UDF.
+
+    Default: the deterministic heuristic classifier (shipped model).
+    With `fasttext_model_path` (e.g. lid.176.ftz) and the `fasttext`
+    package installed, the real model is broadcast as bytes and
+    lazy-loaded once per executor — the north rule's fastText gate; both
+    paths share the (lang, lang_conf) contract so they are
+    interchangeable in the pipeline.
+    """
+    if fasttext_model_path:
+        import fasttext  # noqa: F401 — fail fast if the runtime is absent
+
+        with open(fasttext_model_path, "rb") as f:
+            model_bytes = f.read()
+        bc = spark.sparkContext.broadcast(model_bytes) if spark else None
+        key = fasttext_model_path
+
+        @F.pandas_udf(_LANGID_SCHEMA)
+        def langid_udf(texts: pd.Series) -> pd.DataFrame:
+            data = bc.value if bc is not None else model_bytes
+            return fasttext_langid_frame(texts, _load_fasttext(data, key))
+
+        return langid_udf
+
     @F.pandas_udf(_LANGID_SCHEMA)
     def langid_udf(texts: pd.Series) -> pd.DataFrame:
         return langid_frame(texts)

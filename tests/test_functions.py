@@ -240,3 +240,42 @@ def test_sample_frames_explode_shape(spark):
     # deterministic: same input -> same frames
     again = sample_frames(df, every_ms=500).orderBy("frame_idx").collect()
     assert rows == again
+
+
+def test_fasttext_frame_contract():
+    """The fastText scoring path (used when a real lid.176 model is
+    supplied) honors the (lang, lang_conf) contract — exercised with a
+    model stub since the fasttext runtime is absent offline."""
+    from pii_redaction_data_pipeline_spark.functions.langid import (
+        fasttext_langid_frame,
+    )
+
+    class FakeModel:
+        def predict(self, texts, k=1):
+            labels, probs = [], []
+            for t in texts:
+                assert "\n" not in t  # fastText input contract
+                if "bonjour" in t:
+                    labels.append(("__label__fr",))
+                    probs.append((0.97,))
+                elif not t:
+                    labels.append(())
+                    probs.append(())
+                else:
+                    labels.append(("__label__en",))
+                    probs.append((0.85,))
+            return labels, probs
+
+    s = pd.Series(["hello\nworld", "bonjour tout le monde", None])
+    out = fasttext_langid_frame(s, FakeModel())
+    assert list(out["lang"]) == ["en", "fr", "en"]
+    assert list(out["lang_conf"]) == [0.85, 0.97, 0.0]
+
+
+def test_make_langid_udf_requires_runtime_for_model():
+    import pytest
+
+    from pii_redaction_data_pipeline_spark.functions.langid import make_langid_udf
+
+    with pytest.raises(ImportError):
+        make_langid_udf(fasttext_model_path="/nonexistent/lid.176.ftz")
