@@ -338,6 +338,33 @@ def q_quality_heuristics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_s3_partition_listing(spark, sf_dir):
+    """S3: partition listing (list_objects Delimiter='/' -> CommonPrefixes,
+    reference S3Functions.py:81-101) as a distinct-partition-values scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_objects"), F.sum("n_chars").alias("total_bytes"))
+        .orderBy("source")
+    )
+
+
+def q_a3_entity_counts(spark, sf_dir):
+    """A3: entity count per document (len(redactions), reference
+    redact.py:195) — counts of each planted PII pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(planted, F.lit(_SSN)).cast("long").alias("n_ssn"),
+        F.regexp_count(planted, F.lit(_PHONE)).cast("long").alias("n_phone"),
+    ).orderBy("doc_id")
+
+
 def q_quality_score(spark, sf_dir):
     """Composite 0..1 quality score (functions/text_stats.quality_score)
     over SQL-expressible inputs (rep_frac pinned 0 here — the pandas-UDF
@@ -723,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_sql": q_scrub_sql,
         "quality_heuristics": q_quality_heuristics,
         "quality_score": q_quality_score,
+        "s3_partition_listing": q_s3_partition_listing,
+        "a3_entity_counts": q_a3_entity_counts,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -894,6 +923,21 @@ def oracle_sql() -> dict[str, str]:
                           / greatest(length(regexp_replace(text, '\s', '', 'g')), 1), 6) AS symbol_ratio,
                    length(text) < 100 AS too_short,
                    length(text) > 350 AS too_long
+            FROM documents ORDER BY doc_id
+        """,
+        "s3_partition_listing": """
+            SELECT source, count(*) AS n_objects,
+                   CAST(sum(n_chars) AS BIGINT) AS total_bytes
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "a3_entity_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+                   len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                       '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phone
             FROM documents ORDER BY doc_id
         """,
         "quality_score": r"""
