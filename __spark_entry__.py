@@ -373,6 +373,63 @@ def q_set_union(spark, sf_dir):
     return c.union(s).distinct().orderBy("nationkey")
 
 
+def q_p1_type_gate(spark, sf_dir):
+    """P1: the upload extension whitelist (jpg/png/jpeg/pdf/tif/tiff,
+    reference ProcessDocs/index.jsx:130-133) as a case-folded IN-list
+    gate on the analog attribute (document language)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("lang")).isin("en", "fr", "de"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "source")
+    )
+
+
+def q_p3_artifact_pick(spark, sf_dir):
+    """P3: key-pattern projection (prep-doc-for-redaction.py:9-11 —
+    first key matching a substring) via higher-order array functions:
+    build the per-doc artifact key list, filter by pattern, take [0]."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = F.col("doc_id").cast("string")
+    arts = F.array(
+        F.concat(base, F.lit(".json")),
+        F.concat(base, F.lit(".txt")),
+        F.concat(base, F.lit(".comp-med")),
+        F.concat(base, F.lit("-report.xlsx")),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(F.filter(arts, lambda x: x.contains(".comp-med")), 1).alias("comp_med_key"),
+        F.element_at(F.filter(arts, lambda x: x.endswith(".txt")), 1).alias("txt_key"),
+        F.size(arts).cast("long").alias("n_artifacts"),
+    ).orderBy("doc_id")
+
+
+def q_a4_group_category(spark, sf_dir):
+    """A4: lodash groupBy(category) analog (PiiDisplay.jsx:153) —
+    unpivot per-doc entity counts into (category, total) rows."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789"),
+    )
+    per_doc = docs.select(
+        F.explode(
+            F.create_map(
+                F.lit("EMAIL"), F.regexp_count(planted, F.lit(_EMAIL)),
+                F.lit("SSN"), F.regexp_count(planted, F.lit(_SSN)),
+                F.lit("PHONE"), F.regexp_count(planted, F.lit(_PHONE)),
+            )
+        ).alias("category", "n")
+    )
+    return (
+        per_doc.groupBy("category")
+        .agg(F.sum("n").cast("long").alias("total_entities"))
+        .orderBy("category")
+    )
+
+
 def q_first_match(spark, sf_dir):
     """get_key[0] analog: earliest order per customer (row_number=1)."""
     orders = _t(spark, sf_dir, "orders")
@@ -755,6 +812,17 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, probes, k=3).orderBy("probe_id", "rank")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate NN: spherical-k-means coarse
+    quantizer, cell equi-join, exact cosine re-rank (recall vs brute
+    force in tests)."""
+    from pii_redaction_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_ann_topk(emb, probes, k=3).orderBy("probe_id", "rank")
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (array<long> per doc)."""
     from pii_redaction_data_pipeline_spark.functions.text_stats import make_winnow_udf
@@ -841,6 +909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_consecutive": q_dedup_consecutive,
         "set_union": q_set_union,
         "first_match": q_first_match,
+        "p1_type_gate": q_p1_type_gate,
+        "p3_artifact_pick": q_p3_artifact_pick,
+        "a4_group_category": q_a4_group_category,
         # text / training-data ops
         "scrub_sql": q_scrub_sql,
         "quality_heuristics": q_quality_heuristics,
@@ -868,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "multimodal_resize": q_multimodal_resize,
@@ -1073,6 +1145,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_objects,
                    CAST(sum(n_chars) AS BIGINT) AS total_bytes
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "p1_type_gate": """
+            SELECT lang, source, count(*) AS n_docs FROM documents
+            WHERE lower(lang) IN ('en','fr','de')
+            GROUP BY lang, source ORDER BY lang, source
+        """,
+        "p3_artifact_pick": """
+            SELECT doc_id,
+                   list_filter([CAST(doc_id AS VARCHAR) || '.json',
+                                CAST(doc_id AS VARCHAR) || '.txt',
+                                CAST(doc_id AS VARCHAR) || '.comp-med',
+                                CAST(doc_id AS VARCHAR) || '-report.xlsx'],
+                               x -> x LIKE '%.comp-med%')[1] AS comp_med_key,
+                   list_filter([CAST(doc_id AS VARCHAR) || '.json',
+                                CAST(doc_id AS VARCHAR) || '.txt',
+                                CAST(doc_id AS VARCHAR) || '.comp-med',
+                                CAST(doc_id AS VARCHAR) || '-report.xlsx'],
+                               x -> x LIKE '%.txt')[1] AS txt_key,
+                   CAST(4 AS BIGINT) AS n_artifacts
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "a4_group_category": """
+            SELECT category, CAST(sum(n) AS BIGINT) AS total_entities FROM (
+                SELECT 'EMAIL' AS category,
+                       len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n
+                FROM documents
+                UNION ALL
+                SELECT 'SSN',
+                       len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+                FROM documents
+                UNION ALL
+                SELECT 'PHONE',
+                       len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                           '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b'))
+                FROM documents) t
+            GROUP BY category ORDER BY category
         """,
         "a3_entity_counts": """
             SELECT doc_id,
