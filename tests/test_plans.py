@@ -48,6 +48,31 @@ def test_theta_join_is_broadcast_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_tpch_q5_broadcasts_dims_and_pushes_dates(spark):
+    """Q5's nation/region sides must broadcast and the o_orderdate range
+    must reach the orders scan — at 100 TB a shuffled 25-row dim or an
+    unpushed date filter is the difference between pruned reads and a
+    full-table exchange."""
+    plan = plan_of(E.queries()["tpch_q5"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_tpch_q6_is_scan_filter_agg(spark):
+    """Q6 must stay a scan→filter→partial/final agg: no join operator,
+    all three predicates pushed to the lineitem scan."""
+    plan = plan_of(E.queries()["tpch_q6"](spark, SF))
+    assert "Join" not in plan
+    # Spark truncates the printed PushedFilters list, so assert on the
+    # scan line as a whole rather than the bracketed list.
+    m = re.search(r"FileScan parquet.*", plan)
+    assert m and "PushedFilters: [IsNotNull" in m.group(0), plan[:800]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in m.group(0), m.group(0)
+    assert "HashAggregate" in plan
+
+
 def test_anti_join_strategy(spark):
     plan = plan_of(E.queries()["j2_anti_resume"](spark, SF))
     assert "LeftAnti" in plan
