@@ -722,6 +722,13 @@ def q_scalar_funcs(spark, sf_dir):
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
         F.substring(F.upper("source"), 1, 3).alias("src3"),
         F.round(F.col("n_chars") / 347.0 * 100, 2).alias("pct"),
+        # S3-event key decode (machine-state.py:51 unquote_plus)
+        F.url_decode(
+            F.concat(
+                F.lit("input%2F"), F.col("source"), F.lit("%2F"),
+                F.col("doc_id").cast("string"), F.lit("+doc.txt"),
+            )
+        ).alias("decoded_key"),
     ).orderBy("doc_id")
 
 
@@ -1332,7 +1339,10 @@ def oracle_sql() -> dict[str, str]:
                        '\\.txt$', '') AS no_ext,
                    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
                    substr(upper(source), 1, 3) AS src3,
-                   round(n_chars / 347.0 * 100, 2) AS pct
+                   round(n_chars / 347.0 * 100, 2) AS pct,
+                   replace(replace('input%2F' || source || '%2F' ||
+                       CAST(doc_id AS VARCHAR) || '+doc.txt', '%2F', '/'),
+                       '+', ' ') AS decoded_key
             FROM documents WHERE doc_id < 500 ORDER BY doc_id
         """,
         "date_funcs": """

@@ -77,3 +77,76 @@ def run_streaming_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Stateful cross-batch duplicate-turn detection
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_DDL = "conv_id string, turn_idx int, text_hash long, is_dup boolean"
+DEDUP_STATE_DDL = "hashes array<long>"
+
+
+def streaming_dedup_turns(
+    stream_df,
+    output_path: str,
+    checkpoint_dir: str,
+    max_state_hashes: int = 100_000,
+    available_now: bool = True,
+):
+    """Cross-batch duplicate-turn flags via applyInPandasWithState.
+
+    The batch pipeline's dup-turn window sees one conversation at once;
+    when a conversation's turns arrive across micro-batches, detection
+    needs per-conv state that outlives the batch. State per conv_id is
+    the set of turn-text hashes seen so far (bounded by
+    max_state_hashes; at ~8 B/hash the worst-case state row is ~800 KB),
+    checkpointed by the state store, so a restarted stream resumes with
+    its memory intact — the streaming generalization of the lineage
+    table's resume semantics.
+
+    Inside each group the work is vectorized (hash isin + duplicated on
+    the Arrow batch), no per-row Python. Returns the StreamingQuery.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream_df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
+    )
+
+    def flag_dups(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        seen = np.asarray(state.get[0], dtype=np.int64) if state.exists else np.empty(0, np.int64)
+        new_hashes = [seen]
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx", kind="stable")
+            h = pdf["text_hash"].to_numpy(np.int64)
+            in_state = np.isin(h, seen)
+            within = pd.Series(h).duplicated().to_numpy()
+            out = pdf[["conv_id", "turn_idx", "text_hash"]].copy()
+            out["is_dup"] = in_state | within
+            new_hashes.append(h[~(in_state | within)])
+            yield out
+        merged = np.concatenate(new_hashes)[:max_state_hashes]
+        state.update((merged.tolist(),))
+
+    flagged = hashed.groupBy("conv_id").applyInPandasWithState(
+        flag_dups,
+        DEDUP_OUTPUT_DDL,
+        DEDUP_STATE_DDL,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        flagged.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

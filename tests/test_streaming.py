@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 from pii_redaction_data_pipeline_spark.config import PipelineConfig
 from pii_redaction_data_pipeline_spark.datagen import generate
 from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
-from pii_redaction_data_pipeline_spark.streaming import run_streaming_pipeline
+from pii_redaction_data_pipeline_spark.streaming import (
+    run_streaming_pipeline,
+    streaming_dedup_turns,
+)
 
 COLS = ["conv_id", "turn_idx", "keep", "drop_reasons", "scrubbed_text"]
 
@@ -58,4 +61,56 @@ def test_streaming_matches_batch(tmp_path, spark):
     b = batch.select(*COLS).orderBy("conv_id", "turn_idx").collect()
     s = got.select(*COLS).orderBy("conv_id", "turn_idx").collect()
     assert b == s
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_dedup_across_batches(tmp_path, spark):
+    """applyInPandasWithState keeps per-conversation seen-hash state
+    across micro-batches AND across stream restarts (state store
+    checkpoint): a turn text first seen in batch A is flagged when it
+    reappears in batch B; within-batch repeats are flagged too."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "landing")
+    out = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(in_dir)
+
+    schema_ddl = "conv_id string, turn_idx int, text string"
+
+    def land(rows, name):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+        spark.createDataFrame(pdf, schema=schema_ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, name))
+
+    def drain():
+        stream = spark.readStream.schema(schema_ddl).parquet(in_dir + "/*")
+        q = streaming_dedup_turns(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    land([("c1", 0, "alpha"), ("c1", 1, "beta"), ("c2", 0, "alpha")], "batch_a")
+    drain()
+    # restart the stream for batch B: state must survive the restart
+    land(
+        [
+            ("c1", 2, "alpha"),   # cross-batch dup (seen in batch_a)
+            ("c1", 3, "gamma"),   # fresh
+            ("c1", 4, "gamma"),   # within-batch dup
+            ("c2", 1, "beta"),    # fresh for c2 (state is per-conv)
+        ],
+        "batch_b",
+    )
+    drain()
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["is_dup"]
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        ("c1", 0): False, ("c1", 1): False, ("c2", 0): False,
+        ("c1", 2): True, ("c1", 3): False, ("c1", 4): True,
+        ("c2", 1): False,
+    }
+    assert got == expect, got
     shutil.rmtree(ckpt, ignore_errors=True)
