@@ -34,6 +34,7 @@ from pii_redaction_data_pipeline_spark.functions.perplexity import (
 )
 from pii_redaction_data_pipeline_spark.functions.quality import (
     repetition_frac_series,
+    text_stats_frame,
 )
 from pii_redaction_data_pipeline_spark.functions.scrub import scrub_frame
 
@@ -62,6 +63,9 @@ ANNOTATE_SCHEMA = T.StructType(
         T.StructField("scrub_counts", T.MapType(T.StringType(), T.IntegerType())),
         T.StructField("ppl", T.DoubleType()),
         T.StructField("rep_frac", T.DoubleType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("symbol_ratio", T.DoubleType()),
     ]
 )
 
@@ -76,6 +80,7 @@ def annotate_frame(texts: pd.Series, logp=None) -> pd.DataFrame:
         model.logp = logp
     ppl = model.ppl_series(ppl_input_series(scr["scrubbed_text"].fillna("")))
     rep = repetition_frac_series(texts)
+    stats = text_stats_frame(texts)
     return pd.DataFrame(
         {
             "lang": lid["lang"],
@@ -84,6 +89,9 @@ def annotate_frame(texts: pd.Series, logp=None) -> pd.DataFrame:
             "scrub_counts": scr["scrub_counts"],
             "ppl": ppl,
             "rep_frac": rep,
+            "n_chars": stats["n_chars"].astype("int32"),
+            "n_words": stats["n_words"].astype("int32"),
+            "symbol_ratio": stats["symbol_ratio"],
         },
         index=texts.index,
     )

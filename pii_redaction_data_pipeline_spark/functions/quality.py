@@ -53,6 +53,62 @@ def symbol_ratio_col(text: Column) -> Column:
     )
 
 
+def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized n_chars / n_words / symbol_ratio with EXACTLY the
+    semantics of the JVM expressions above (length(), regexp_count('\\S+'),
+    translate-based ASCII symbol ratio).
+
+    Why it exists: microbenchmarks (BENCH/BASELINE.md) showed the
+    "cheap" JVM side is the expensive part of phase 1 at 2M rows —
+    regexp_count ~15 s and the 63-char translate ~66 s at local[16],
+    versus ~13 s for the entire fused pandas UDF. One UTF-32 pass over
+    the batch's concatenated text replaces the regex engine and both
+    char-map rewrites; riding inside the fused UDF it adds zero extra
+    Arrow transfer.
+    """
+    s = texts.fillna("")
+    vals = s.tolist()
+    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=len(vals))
+    joined = "".join(vals)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    starts_b, ends_b = bounds[:-1], bounds[1:]
+
+    # " \t\n\x0b\f\r" == 0x20 | 0x09..0x0D  (= _WS_CHARS / Java \s)
+    is_ws = (cp == 0x20) | ((cp >= 0x09) & (cp <= 0x0D))
+    nonws = ~is_ws
+    # [0-9A-Za-z_]  (= _WORD_CHARS / Java \w)
+    is_word = (
+        ((cp >= 0x30) & (cp <= 0x39))
+        | ((cp >= 0x41) & (cp <= 0x5A))
+        | ((cp >= 0x61) & (cp <= 0x7A))
+        | (cp == 0x5F)
+    )
+    # maximal \S+ runs: a run starts at a non-ws codepoint whose
+    # predecessor is ws — rows are concatenated with NO separator, so
+    # each row's first codepoint must be re-evaluated against its own
+    # row boundary, not the previous row's last char
+    prev_nonws = np.concatenate([[False], nonws[:-1]])
+    run_start = nonws & ~prev_nonws
+    row_first = starts_b[starts_b < len(cp)]
+    run_start[row_first] = nonws[row_first]
+
+    cs_runs = np.concatenate([[0], np.cumsum(run_start, dtype=np.int64)])
+    cs_nonws = np.concatenate([[0], np.cumsum(nonws, dtype=np.int64)])
+    cs_word = np.concatenate([[0], np.cumsum(is_word, dtype=np.int64)])
+    n_words = cs_runs[ends_b] - cs_runs[starts_b]
+    n_nonspace = cs_nonws[ends_b] - cs_nonws[starts_b]
+    n_wordchars = cs_word[ends_b] - cs_word[starts_b]
+    symbols = n_nonspace - n_wordchars
+    ratio = np.where(
+        n_nonspace == 0, 0.0, symbols / np.maximum(n_nonspace, 1)
+    ).astype(np.float64)
+    return pd.DataFrame(
+        {"n_chars": lens, "n_words": n_words, "symbol_ratio": ratio},
+        index=texts.index,
+    )
+
+
 def repetition_frac_series(texts: pd.Series) -> pd.Series:
     """Fraction of characters covered by the most frequent word 3-gram.
 

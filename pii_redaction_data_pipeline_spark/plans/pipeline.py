@@ -30,10 +30,6 @@ from pyspark.sql import functions as F
 
 from pii_redaction_data_pipeline_spark.config import PipelineConfig
 from pii_redaction_data_pipeline_spark.functions.fused import make_annotate_udf
-from pii_redaction_data_pipeline_spark.functions.quality import (
-    n_words_col,
-    symbol_ratio_col,
-)
 from pii_redaction_data_pipeline_spark.operators.windows import with_conversation_flags
 from pii_redaction_data_pipeline_spark.sources.lineage import LineageStore
 from pii_redaction_data_pipeline_spark.sources.tables import (
@@ -114,10 +110,9 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
 
     # --- narrow, Arrow-batched stages (no shuffle) ---
     # ONE fused pandas UDF (langid + scrub + ppl-on-stripped-scrubbed +
-    # repetition): the text column crosses the JVM<->Python Arrow pipe
-    # once instead of four times (functions/fused.py). The remaining
-    # heuristics are regex-free codegen expressions (translate /
-    # regexp_count — functions/quality.py).
+    # repetition + n_chars/n_words/symbol_ratio): the text column crosses
+    # the JVM<->Python Arrow pipe once (functions/fused.py), and ALL
+    # per-turn stats come out of that single pass.
     df = df.withColumn("_ann", fused_udf(text))
     df = (
         df.withColumn("lang", F.col("_ann.lang"))
@@ -126,12 +121,15 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
         .withColumn("_counts", F.col("_ann.scrub_counts"))
         .withColumn("ppl", F.col("_ann.ppl"))
         .withColumn("rep_frac", F.col("_ann.rep_frac"))
+        # n_chars/n_words/symbol_ratio ride the same Arrow exchange:
+        # the numpy single-pass (quality.text_stats_frame) beats the
+        # "cheap" JVM regexp_count + 63-char translate by ~10x at 2M
+        # rows (microbench in BENCH/BASELINE.md); semantics identical
+        # (pinned by tests/test_functions.py::test_text_stats_matches_jvm)
+        .withColumn("n_chars", F.col("_ann.n_chars"))
+        .withColumn("n_words", F.col("_ann.n_words"))
+        .withColumn("symbol_ratio", F.col("_ann.symbol_ratio"))
         .drop("_ann")
-    )
-    df = (
-        df.withColumn("n_chars", F.length(text))
-        .withColumn("n_words", n_words_col(text))
-        .withColumn("symbol_ratio", symbol_ratio_col(text))
     )
 
     # --- conversation windows: phase 2, the unsalted conv_id shuffle ---

@@ -279,3 +279,50 @@ def test_make_langid_udf_requires_runtime_for_model():
 
     with pytest.raises(ImportError):
         make_langid_udf(fasttext_model_path="/nonexistent/lid.176.ftz")
+
+
+def test_text_stats_matches_jvm(spark):
+    """text_stats_frame (the fused UDF's numpy single-pass) must equal
+    the JVM expressions it replaced in the hot path — length(),
+    regexp_count('\\S+'), translate-based symbol ratio — including ws-only,
+    empty, unicode, and boundary-adjacent rows (rows are concatenated
+    with no separator, so run-starts at row boundaries are the easy bug)."""
+    from pyspark.sql import functions as F
+
+    from pii_redaction_data_pipeline_spark.functions.quality import (
+        n_words_col,
+        symbol_ratio_col,
+        text_stats_frame,
+    )
+
+    texts = [
+        "",
+        "   ",
+        "\t\n\x0b\f\r",
+        "hello world",
+        "  leading",
+        "trailing  ",
+        "a",                       # 1-char rows back-to-back stress boundaries
+        "b",
+        " c",
+        "d ",
+        "under_score_123",
+        "symbols!!! ###",
+        "emoji 😀 and 中文字符 mixed",
+        "tab\tsep\nlines\r\nhere",
+        "a@b.io (555) 123-4567",
+        "x" * 500,
+        "né café ölü",              # non-ASCII letters are NOT \\w (Java ASCII)
+    ]
+    pdf = pd.DataFrame({"text": texts})
+    got = text_stats_frame(pdf["text"])
+
+    sdf = spark.createDataFrame(pdf).select(
+        F.length("text").alias("n_chars"),
+        n_words_col(F.col("text")).alias("n_words"),
+        symbol_ratio_col(F.col("text")).alias("symbol_ratio"),
+    )
+    exp = sdf.toPandas()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+    assert got["n_words"].tolist() == exp["n_words"].tolist()
+    assert np.allclose(got["symbol_ratio"], exp["symbol_ratio"], atol=1e-12)
