@@ -707,6 +707,26 @@ def q_rollup_matrix(spark, sf_dir):
     )
 
 
+def q_cube_matrix(spark, sf_dir):
+    """Cube (full grouping-sets lattice) — event_type x quarter-day with
+    ALL four subtotal combinations (completes the grouping family next
+    to rollup_matrix; Catalyst expands to one Expand + hash-agg)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "qday", F.floor(F.hour("ts") / 6).cast("long")
+    )
+    return (
+        ev.cube("event_type", "qday")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("qday", F.lit(-1)).alias("qday"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "qday")
+    )
+
+
 def q_scalar_funcs(spark, sf_dir):
     """§2.7 scalar/string family: format, split/basename/ext, replace,
     lpad, substring, percent rounding (reference key-manipulation ops)."""
@@ -937,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_merge_parts": q_s4_merge_parts,
         "a1_status_map": q_a1_status_map,
         "rollup_matrix": q_rollup_matrix,
+        "cube_matrix": q_cube_matrix,
         "scalar_funcs": q_scalar_funcs,
         "date_funcs": q_date_funcs,
         "json_props": q_json_props,
@@ -1326,6 +1347,17 @@ def oracle_sql() -> dict[str, str]:
                          value
                   FROM events) t
             GROUP BY ROLLUP (event_type, qday)
+            ORDER BY 1, 2
+        """,
+        "cube_matrix": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(qday, -1) AS qday,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (SELECT event_type,
+                         CAST(floor(extract(hour FROM ts) / 6) AS BIGINT) AS qday,
+                         value
+                  FROM events) t
+            GROUP BY CUBE (event_type, qday)
             ORDER BY 1, 2
         """,
         "scalar_funcs": """
