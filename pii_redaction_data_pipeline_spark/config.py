@@ -48,6 +48,12 @@ class PipelineConfig:
     # conversation-window rules
     tool_loop_min_run: int = 3  # >= this many identical consecutive tool turns
 
+    # D1 text normalization (SURVEY.md §2.8): NFKC + control/zero-width
+    # strip inside the fused UDF, applied before langid/scrub/ppl/stats
+    # and before the dup-detection hash — zero-width-obfuscated PII and
+    # visually-identical dup turns are caught (functions/fused.py)
+    normalize_unicode: bool = True
+
     # Keep the raw pre-scrub text column in the annotated output.
     # False mirrors the reference's retain_orig_docs=false (originals
     # deleted after redaction, reference backend/src/lambda/

@@ -42,6 +42,44 @@ from pii_redaction_data_pipeline_spark.functions.scrub import scrub_frame
 _MASK_RE = re.compile(r"\[REDACTED [A-Z_]+\]")
 _WS_RE = re.compile(r"\s+", re.ASCII)
 
+# --- D1 text normalization (SURVEY.md §2.8 D1: the Spark analog of the
+# reference's Textract plain-text extraction, backend/src/lambda/
+# extract.py:73-90) ---------------------------------------------------------
+# NFKC folds fullwidth/compatibility codepoints onto their canonical
+# forms and zero-width/control stripping closes the PII-evasion hole
+# round 1 flagged: 'user@exam<ZWSP>ple.com' must not slip past the
+# scrubber, and two visually identical turns must hash equal for dup
+# detection. \t \n \r survive (they are word separators, not noise).
+_STRIP_CODEPOINTS = [
+    *range(0x00, 0x09),      # C0 controls below \t
+    0x0B, 0x0C,              # VT, FF (\t \n \r survive)
+    *range(0x0E, 0x20),      # rest of C0
+    0x7F,                    # DEL
+    *range(0x80, 0xA0),      # C1 controls
+    0xAD,                    # soft hyphen
+    *range(0x200B, 0x2010),  # ZWSP ZWNJ ZWJ LRM RLM
+    *range(0x202A, 0x202F),  # bidi embedding controls
+    *range(0x2060, 0x2065),  # word joiner + invisible operators
+    0xFEFF,                  # zero-width no-break space / BOM
+]
+_STRIP_TABLE = dict.fromkeys(_STRIP_CODEPOINTS)
+# fast path: pure printable-ASCII (+ \t\n\r) text is already normal
+_NEEDS_NORM_RE = re.compile(r"[^\x20-\x7e\t\n\r]")
+
+
+def normalize_text(t: str) -> str:
+    """Unicode NFKC + control/zero-width/bidi-mark strip. Identity (and
+    nearly free) for printable-ASCII input."""
+    if _NEEDS_NORM_RE.search(t) is None:
+        return t
+    import unicodedata
+
+    return unicodedata.normalize("NFKC", t).translate(_STRIP_TABLE)
+
+
+def normalize_series(texts: pd.Series) -> pd.Series:
+    return texts.map(normalize_text)
+
 
 def ppl_input_series(scrubbed: pd.Series) -> pd.Series:
     """Exact Python replica of the former JVM chain:
@@ -57,6 +95,10 @@ def ppl_input_series(scrubbed: pd.Series) -> pd.Series:
 
 ANNOTATE_SCHEMA = T.StructType(
     [
+        # normalized text, DELTA-ENCODED: NULL when identical to the
+        # input (the overwhelmingly common case), so the extra field
+        # costs ~nothing on the Arrow return path
+        T.StructField("text_norm", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("lang_conf", T.DoubleType()),
         T.StructField("scrubbed_text", T.StringType()),
@@ -70,7 +112,14 @@ ANNOTATE_SCHEMA = T.StructType(
 )
 
 
-def annotate_frame(texts: pd.Series, logp=None) -> pd.DataFrame:
+def annotate_frame(texts: pd.Series, logp=None, normalize: bool = True) -> pd.DataFrame:
+    if normalize:
+        norm = normalize_series(texts.fillna(""))
+        # delta-encode against the input: NULL means "unchanged"
+        text_norm = norm.where(norm.ne(texts.fillna("")), other=None)
+        texts = norm
+    else:
+        text_norm = pd.Series([None] * len(texts), index=texts.index, dtype=object)
     lid = langid_frame(texts)
     scr = scrub_frame(texts)
     if logp is None:
@@ -83,6 +132,7 @@ def annotate_frame(texts: pd.Series, logp=None) -> pd.DataFrame:
     stats = text_stats_frame(texts)
     return pd.DataFrame(
         {
+            "text_norm": text_norm,
             "lang": lid["lang"],
             "lang_conf": lid["lang_conf"],
             "scrubbed_text": scr["scrubbed_text"],
@@ -97,15 +147,20 @@ def annotate_frame(texts: pd.Series, logp=None) -> pd.DataFrame:
     )
 
 
-def make_annotate_udf(spark=None):
-    """pandas UDF: text -> struct<lang, lang_conf, scrubbed_text,
-    scrub_counts, ppl, rep_frac>. The KN log-prob table is broadcast once."""
+def make_annotate_udf(spark=None, normalize: bool = True):
+    """pandas UDF: text -> struct<text_norm, lang, lang_conf,
+    scrubbed_text, scrub_counts, ppl, rep_frac, n_chars, n_words,
+    symbol_ratio>. The KN log-prob table is broadcast once. With
+    normalize=True (default) every stage sees the D1-normalized text and
+    text_norm carries the normalization delta back to the JVM."""
     bc = None
     if spark is not None:
         bc = spark.sparkContext.broadcast(default_model().logp)
 
     @F.pandas_udf(ANNOTATE_SCHEMA)
     def annotate_udf(texts: pd.Series) -> pd.DataFrame:
-        return annotate_frame(texts, logp=bc.value if bc is not None else None)
+        return annotate_frame(
+            texts, logp=bc.value if bc is not None else None, normalize=normalize
+        )
 
     return annotate_udf

@@ -65,6 +65,15 @@ def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
     the batch's concatenated text replaces the regex engine and both
     char-map rewrites; riding inside the fused UDF it adds zero extra
     Arrow transfer.
+
+    NULL handling is a DELIBERATE divergence from the raw JVM
+    expressions: NULL text maps to n_chars=0 / n_words=0 /
+    symbol_ratio=0.0 (the JVM length/regexp_count/translate chain would
+    return NULL, which silently escapes every threshold comparison). The
+    pipeline coalesces NULL text to '' before any stage precisely so a
+    NULL-text turn is DROPPED as too_short rather than kept by NULL
+    comparison semantics (plans/pipeline.py) — pinned by the None row in
+    tests/test_functions.py::test_text_stats_null_coercion.
     """
     s = texts.fillna("")
     vals = s.tolist()

@@ -80,8 +80,12 @@ def train_ivf_centroids(
     Trains on a bounded, deterministically-chosen sample (first sample_n
     rows by id) collected to the driver — the ONLY driver-side collect in
     the similarity module, capped at sample_n rows regardless of table
-    size. Centroids are L2-normalized; assignment is max dot product
-    (cosine). Returns (n_cells, dim) float64.
+    size. NOTE: this collect runs EAGERLY at call time (a Spark job at
+    DataFrame-construction time), and when the sample has fewer than
+    n_cells rows the quantizer trains that many centroids, not n_cells
+    (duplicate init rows collapse). Centroids are L2-normalized;
+    assignment is max dot product (cosine). Returns (n_cells, dim)
+    float64. Raises ValueError on an empty corpus.
     """
     pdf = (
         df.orderBy(id_col)
@@ -89,7 +93,11 @@ def train_ivf_centroids(
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .toPandas()
     )
+    if len(pdf) == 0:
+        raise ValueError("train_ivf_centroids: empty corpus (no vectors to train on)")
     mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    if mat.ndim != 2:
+        raise ValueError("train_ivf_centroids: non-uniform embedding dimensions")
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = mat[rng.permutation(len(mat))[:n_cells]].copy()
@@ -111,6 +119,8 @@ def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cent.T  # (batch, n_cells)
@@ -175,6 +185,8 @@ def make_lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 4321):
 
     @F.pandas_udf(T.LongType())
     def lsh_sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=np.int64)
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
         bits = (mat @ planes) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)

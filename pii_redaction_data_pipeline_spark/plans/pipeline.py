@@ -66,7 +66,7 @@ def tune_shuffle_partitions(
 def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = None) -> DataFrame:
     """transcripts -> annotated (adds lang, lang_conf, ppl, heuristic cols,
     keep, drop_reasons, scrubbed_text, scrub_counts)."""
-    fused_udf = make_annotate_udf(spark)
+    fused_udf = make_annotate_udf(spark, normalize=cfg.normalize_unicode)
 
     # normalize NULL text to '' up front: every downstream rule treats ''
     # as droppable (too_short), whereas raw NULLs would propagate through
@@ -115,7 +115,12 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     # per-turn stats come out of that single pass.
     df = df.withColumn("_ann", fused_udf(text))
     df = (
-        df.withColumn("lang", F.col("_ann.lang"))
+        # text becomes the D1-NORMALIZED text from here on (delta-encoded:
+        # _ann.text_norm is NULL when unchanged), so the dup-detection
+        # hash, the scrubbed-vs-text delta encoding, and a retained text
+        # column all see the same normalized form the scrubber saw
+        df.withColumn("text", F.coalesce(F.col("_ann.text_norm"), text))
+        .withColumn("lang", F.col("_ann.lang"))
         .withColumn("lang_conf", F.col("_ann.lang_conf"))
         .withColumn("_scrubbed", F.col("_ann.scrubbed_text"))
         .withColumn("_counts", F.col("_ann.scrub_counts"))

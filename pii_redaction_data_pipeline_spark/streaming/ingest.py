@@ -121,7 +121,6 @@ def streaming_dedup_turns(
         import pandas as pd
 
         seen = np.asarray(state.get[0], dtype=np.int64) if state.exists else np.empty(0, np.int64)
-        new_hashes = [seen]
         for pdf in pdfs:
             pdf = pdf.sort_values("turn_idx", kind="stable")
             h = pdf["text_hash"].to_numpy(np.int64)
@@ -129,10 +128,21 @@ def streaming_dedup_turns(
             within = pd.Series(h).duplicated().to_numpy()
             out = pdf[["conv_id", "turn_idx", "text_hash"]].copy()
             out["is_dup"] = in_state | within
-            new_hashes.append(h[~(in_state | within)])
+            # accumulate BEFORE the next chunk: a group larger than one
+            # Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch)
+            # arrives as several chunks, and a hash first seen in an
+            # earlier chunk must flag repeats in later chunks of the
+            # same micro-batch
+            seen = np.concatenate([seen, h[~(in_state | within)]])
             yield out
-        merged = np.concatenate(new_hashes)[:max_state_hashes]
-        state.update((merged.tolist(),))
+        # SATURATION: retention is oldest-first — once a conversation has
+        # max_state_hashes distinct turn texts, NEWER texts are no longer
+        # recorded, so their later repeats go unflagged (permanent false
+        # negatives past the cap). Oldest-first is the deliberate choice:
+        # dup turns in real transcripts overwhelmingly repeat early
+        # boilerplate, and a bounded state row (~8 B/hash) is what keeps
+        # the state store safe at 10^12-turn scale.
+        state.update((seen[:max_state_hashes].tolist(),))
 
     flagged = hashed.groupBy("conv_id").applyInPandasWithState(
         flag_dups,

@@ -1,0 +1,163 @@
+"""Dedup-operator family: vectorized signature hashing pinned against a
+scalar reference, LSH/simhash recall vs the exact ngram-jaccard ground
+truth, and the hot-shingle df_cap guard."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pii_redaction_data_pipeline_spark.operators.dedup import (
+    _POLY_B,
+    _shingle_hashes,
+    _word_hashes,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+def _ref_poly(s: str) -> int:
+    """Scalar reference of the polynomial hash the vectorized path must
+    reproduce exactly: H(s) = sum (cp_i + 1) * B^(n-1-i) mod 2^64."""
+    h = 0
+    for ch in s:
+        h = (h * _POLY_B + ord(ch) + 1) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _ref_shingles(text: str, k: int) -> set[int]:
+    words = text.lower().split()
+    if not words:
+        return {0}
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return {_ref_poly(g) for g in grams}
+
+
+CASES = [
+    "the quick brown fox jumps over the lazy dog",
+    "one two",
+    "single",
+    "",
+    "   \t\n ",
+    "a  b\t c \n d e f g a b c",
+    "Ünïcode wörds ärë fine too 日本語 テスト mixed 42",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_shingle_hashes_match_scalar_reference(text):
+    got = {int(x) for x in _shingle_hashes(text, 3)}
+    assert got == _ref_shingles(text, 3)
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_word_hashes_match_scalar_reference(text):
+    got = [int(x) for x in _word_hashes(text)]
+    assert got == [_ref_poly(w) for w in text.lower().split()]
+
+
+def _docs_df(spark):
+    """Synthetic corpus with planted near-dups: 0/1 and 2/3 near-identical,
+    the rest unrelated."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls softly on the quiet green meadow near the old stone bridge"
+    )
+    rows = [
+        (0, base),
+        (1, base + " tonight"),  # near-dup of 0
+        (2, "customers order parts from suppliers across several regions "
+            "and every order ships with a tracked invoice number attached "
+            "to the parcel manifest record"),
+        (3, "customers order parts from suppliers across several regions "
+            "and every order ships with a tracked invoice number attached "
+            "to the parcel manifest record today"),  # near-dup of 2
+        (4, "completely different text about spark catalyst optimizer "
+            "plans predicate pushdown and whole stage code generation"),
+        (5, "yet another unrelated document mentioning embeddings vectors "
+            "cosine similarity and locality sensitive hashing buckets"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_lsh_recalls_exact_pairs(spark):
+    docs = _docs_df(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert truth == {(0, 1), (2, 3)}
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert got == truth
+
+
+def test_minhash_jaccard_values_match_exact(spark):
+    """The UDF-verified jaccard equals the JVM explode-join jaccard."""
+    docs = _docs_df(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    for pair, j in lsh.items():
+        assert abs(j - exact[pair]) < 1e-6
+
+
+def test_simhash_finds_near_identical(spark):
+    docs = _docs_df(spark)
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert {(0, 1), (2, 3)} <= got
+    # unrelated docs stay apart at a tight radius
+    assert (4, 5) not in {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+
+
+def test_ngram_df_cap_bounds_pathological_corpus(spark):
+    """A corpus-wide boilerplate shingle would make the self-join
+    quadratic; the df_cap drops it from pair generation."""
+    boiler = "this exact legal disclaimer appears in every single document"
+    rows = [(i, f"{boiler} unique tail {i} {i * 7} {i * 13}") for i in range(40)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # cap below the boilerplate's document frequency: only the boiler
+    # shingles are shared, so no pairs survive pair generation at all
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, df_cap=10)
+    assert capped.count() == 0
+    # without the cap the same corpus generates all 40*39/2 pairs
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01, df_cap=None)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_ngram_df_cap_default_transparent_on_normal_corpus(spark):
+    docs = _docs_df(spark)
+    a = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=None).collect()
+    b = ngram_jaccard_pairs(docs, threshold=0.5).collect()  # default cap
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_empty_and_null_text_signatures(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", None, "hello world"]})
+    )
+    # must not raise; empty/null texts produce the sentinel shingle and
+    # never pair with real docs at any positive threshold
+    assert minhash_lsh_pairs(docs, jaccard_threshold=0.5).count() <= 1
+    assert simhash_pairs(docs, max_hamming=0).count() <= 1

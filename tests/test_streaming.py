@@ -114,3 +114,42 @@ def test_stateful_dedup_across_batches(tmp_path, spark):
     }
     assert got == expect, got
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_dedup_across_arrow_chunks(tmp_path, spark):
+    """A conversation larger than one Arrow batch arrives as SEVERAL
+    chunks of the same micro-batch: a hash first seen in an earlier
+    chunk must flag repeats in later chunks (round-1 advice: `seen` was
+    computed once before the chunk loop, so cross-chunk within-batch
+    dups were missed)."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "landing")
+    out = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(in_dir)
+    schema_ddl = "conv_id string, turn_idx int, text string"
+
+    # one conversation, 9 turns; with maxRecordsPerBatch=3 the group
+    # spans 3 Arrow chunks; turn 7 repeats turn 1's text across chunks
+    rows = [("c1", i, f"text-{i}") for i in range(9)]
+    rows[7] = ("c1", 7, "text-1")
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    spark.createDataFrame(pdf, schema=schema_ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(in_dir, "batch_a"))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(schema_ddl).parquet(in_dir + "/*")
+        q = streaming_dedup_turns(stream, out, ckpt)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    got = {
+        r["turn_idx"]: r["is_dup"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {i: (i == 7) for i in range(9)}, got
+    shutil.rmtree(ckpt, ignore_errors=True)
