@@ -470,19 +470,29 @@ def q_scrub_sql(spark, sf_dir):
 
 
 def q_quality_heuristics(spark, sf_dir):
-    """D5 heuristics as portable SQL: lengths, word count, symbol ratio."""
+    """D5 heuristics as portable SQL: lengths, word count, symbol ratio,
+    plus the composite 0..1 quality score (functions/text_stats.
+    quality_score with rep_frac pinned 0 — the pandas-UDF repetition
+    stat is exercised by the pipeline queries). The score rode its own
+    query (`quality_score`) in round 1; folded here so the checked-query
+    count stays within the driver's 50-row correctness harness."""
+    from pii_redaction_data_pipeline_spark.functions.text_stats import quality_score
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     nonspace = F.length(F.regexp_replace(t, "\\s", ""))
     symbols = nonspace - F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
     n_words = F.size(F.split(F.trim(t), "\\s+"))
+    sr = symbols / F.greatest(nonspace, F.lit(1))
+    score = quality_score(F.length(t), F.regexp_count(t, F.lit(r"\S+")), sr, F.lit(0.0))
     return docs.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars_actual"),
         n_words.cast("long").alias("n_words"),
-        F.round(symbols / F.greatest(nonspace, F.lit(1)), 6).alias("symbol_ratio"),
+        F.round(sr, 6).alias("symbol_ratio"),
         (F.length(t) < 100).alias("too_short"),
         (F.length(t) > 350).alias("too_long"),
+        F.round(score, 6).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -531,13 +541,17 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    """Token counting: whitespace words + BPE-ish pre-tokens."""
+    """Token counting (whitespace words + BPE-ish pre-tokens) plus the
+    normalized-md5 content fingerprint (exact-dedup key; its own query
+    `fingerprint` in round 1, folded here to stay within the driver's
+    50-row correctness harness)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(t), "\\s+")).cast("long").alias("ws_tokens"),
         F.regexp_count(t, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").alias("bpe_tokens"),
+        F.md5(F.lower(F.trim(F.regexp_replace(t, "\\s+", " ")))).alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -801,8 +815,31 @@ def q_segment_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _reasons_str(col="drop_reasons"):
+    """drop_reasons as a canonical string: order is already fixed by
+    config.DROP_REASONS, and a flat string is hashable by the driver's
+    pandas canonicalizer (round 1: the raw array<string> crashed its
+    sort_values with 'unhashable type: list')."""
+    return F.array_join(F.col(col), "|").alias(col)
+
+
+def _counts_str(col="scrub_counts"):
+    """scrub_counts map as a canonical 'k:v,...' string, entries sorted
+    by key — hashable and engine-order-independent."""
+    entries = F.array_sort(F.map_entries(F.col(col)))
+    joined = F.array_join(
+        F.transform(entries, lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string"))),
+        ",",
+    )
+    return F.when(F.col(col).isNotNull(), joined).alias(col)
+
+
 def q_pipeline_documents(spark, sf_dir):
-    """The flagship pipeline over the documents corpus (UDF stages)."""
+    """The flagship pipeline over the documents corpus (UDF stages).
+    Array/map columns are canonicalized to strings so the driver's
+    rows/schema/hash checks can run (no SQL oracle — langid/KN-ppl/Luhn
+    are not SQL-expressible; golden-fixture equality in pytest is the
+    value check, SURVEY.md §5)."""
     from pii_redaction_data_pipeline_spark.config import PipelineConfig
     from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
 
@@ -810,12 +847,19 @@ def q_pipeline_documents(spark, sf_dir):
     ann = annotate(tr, PipelineConfig(), spark)
     return ann.select(
         "doc_id", "lang", F.round("lang_conf", 4).alias("lang_conf"),
-        F.round("ppl", 4).alias("ppl"), "keep", "drop_reasons", "scrubbed_text",
+        F.round("ppl", 4).alias("ppl"), "keep", _reasons_str(),
+        "scrubbed_text", _counts_str(),
     ).orderBy("doc_id")
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (verified vs exact jaccard in tests)."""
+    """MinHash+LSH near-dup pairs, ORACLE-CHECKED against the exact
+    explode+join jaccard SQL: on the fixture corpus the banded LSH
+    candidate set provably covers every true pair and the in-bucket
+    exact-jaccard verify makes the final output EQUAL the ground truth,
+    so a broken signature/banding/verify stage breaks the hash match.
+    (Round 1 left this `no_oracle`; VERDICT asked for a value check
+    derived from the already-oracled exact path.)"""
     from pii_redaction_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -823,31 +867,56 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures + banded near-dup pairs."""
-    from pii_redaction_data_pipeline_spark.operators.dedup import simhash_pairs
+    """SimHash banded near-dup RECALL, oracle-checked: the true near-dup
+    pairs (exact ngram-jaccard, SQL-expressible) inner-joined against
+    the simhash candidate pairs. Deterministic on the fixture corpus —
+    every true pair is within the hamming radius and shares a 16-bit
+    chunk, so the result equals the truth set; a broken signature or
+    banding drops rows and fails the hash match. Precision (the JVM
+    bit_count hamming verify) is pytest-pinned (tests/test_dedup.py)."""
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+    truth = ngram_jaccard_pairs(docs, threshold=0.12)
+    cand = simhash_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    return (
+        truth.join(cand, ["id_a", "id_b"])
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate NN (recall vs brute force in tests)."""
+    """LSH-bucketed approximate NN, oracle-checked against the exact
+    brute-force top-k SQL. Fixture-scale parameters (3 planes x 12
+    tables) are chosen so the union-of-buckets candidate set covers the
+    exact top-3 for every probe — the approximate plan (signature UDF,
+    bucket equi-joins, re-rank window) then must REPRODUCE the exact
+    answer to hash-match. Production params trade recall for cost;
+    recall floors are pytest-pinned (tests/test_similarity.py)."""
     from pii_redaction_data_pipeline_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
-    return lsh_ann_topk(emb, probes, k=3).orderBy("probe_id", "rank")
+    return lsh_ann_topk(emb, probes, k=3, n_planes=3, n_tables=12).orderBy(
+        "probe_id", "rank"
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF (inverted-file) approximate NN: spherical-k-means coarse
-    quantizer, cell equi-join, exact cosine re-rank (recall vs brute
-    force in tests)."""
+    """IVF (inverted-file) approximate NN, oracle-checked against the
+    brute-force top-k SQL: spherical-k-means coarse quantizer, cell
+    equi-join, exact cosine re-rank. nprobe=10 of 16 cells covers the
+    exact top-3 on the fixture corpus, so the whole train/assign/join/
+    re-rank path must reproduce the exact answer to hash-match."""
     from pii_redaction_data_pipeline_spark.operators.similarity import ivf_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
-    return ivf_ann_topk(emb, probes, k=3).orderBy("probe_id", "rank")
+    return ivf_ann_topk(emb, probes, k=3, nprobe=10).orderBy("probe_id", "rank")
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -908,11 +977,20 @@ def q_transcripts_pipeline(spark, sf_dir):
     df = spark.createDataFrame(tdf)
     ann = annotate(df, PipelineConfig(), spark)
     return ann.select(
-        "conv_id", "turn_idx", "keep", "drop_reasons", "scrubbed_text"
+        "conv_id", "turn_idx", "keep", _reasons_str(), "scrubbed_text"
     ).orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries: round 1 registered 56 but the driver's
+    correctness harness recorded 50 rows, leaving six queries unchecked.
+    Six redundant entries were pruned (NOT deleted — the functions, their
+    oracle SQL, and pytest coverage remain, see PRUNED_ORACLES and
+    tests/test_pruned_oracles.py) so every registered query gets a
+    CORRECTNESS row: a1_status_rollup ⊂ a1_status_map, j2b_semi (J2's
+    semi arm; anti arm stays), tpch_q5 (join family keeps q3/q10/
+    join_3way), rollup_matrix ⊂ cube_matrix, quality_score folded into
+    quality_heuristics, fingerprint folded into token_count."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -920,13 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_point_lookup": q_p5_point_lookup,
         "j1_artifact_join": q_j1_artifact_join,
         "j2_anti_resume": q_j2_anti_resume,
-        "j2b_semi": q_j2b_semi,
         "join_3way": q_join_3way,
-        "a1_status_rollup": q_a1_status_rollup,
         "a2_manifest_counts": q_a2_manifest_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "w1_first_per_group": q_w1_first_per_group,
@@ -942,11 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text / training-data ops
         "scrub_sql": q_scrub_sql,
         "quality_heuristics": q_quality_heuristics,
-        "quality_score": q_quality_score,
         "s3_partition_listing": q_s3_partition_listing,
         "a3_entity_counts": q_a3_entity_counts,
         "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
         "dedup_exact_groups": q_dedup_exact_groups,
         "langid_stopwords": q_langid_stopwords,
         "ngram_jaccard": q_ngram_jaccard,
@@ -956,24 +1029,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_theta_contains": q_j3_theta_contains,
         "s4_merge_parts": q_s4_merge_parts,
         "a1_status_map": q_a1_status_map,
-        "rollup_matrix": q_rollup_matrix,
         "cube_matrix": q_cube_matrix,
         "scalar_funcs": q_scalar_funcs,
         "date_funcs": q_date_funcs,
         "json_props": q_json_props,
-        # rows-only (no oracle)
-        "segment_pack": q_segment_pack,
-        "pipeline_documents": q_pipeline_documents,
+        # sketch / ANN family (oracle-checked against their exact paths)
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "winnow_fingerprint": q_winnow_fingerprint,
+        # multimodal plumbing (deterministic stub codecs, oracle-checked)
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        # rows-only (no oracle: non-SQL-expressible semantics)
+        "segment_pack": q_segment_pack,
+        "pipeline_documents": q_pipeline_documents,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "transcripts_pipeline": q_transcripts_pipeline,
     }
+
+
+# Exact ngram-jaccard ground truth (threshold 0.12, doc_id < 200) —
+# shared by ngram_jaccard AND the sketch queries (minhash_lsh/simhash),
+# whose fixture-scale output provably equals this truth set.
+_NGRAM_TRUTH_SQL = r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents WHERE doc_id < 200),
+    grams AS (
+        SELECT doc_id, DISTINCT_G.g FROM norm,
+        LATERAL (SELECT DISTINCT unnest(
+            CASE WHEN len(w) >= 3
+                 THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                 ELSE [array_to_string(w, ' ')] END) AS g) AS DISTINCT_G),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.12
+    ORDER BY id_a, id_b
+"""
+
+# Exact brute-force cosine top-3 for probes vec_id < 5 — shared by
+# cosine_topk AND the ANN queries (ann_lsh/ann_ivf), whose fixture-scale
+# candidate sets provably cover the exact top-k.
+_COSINE_TOPK_SQL = """
+    SELECT probe_id, rank, nbr_id, sim FROM (
+        SELECT p.vec_id AS probe_id, n.vec_id AS nbr_id,
+               round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 4) DESC,
+                            n.vec_id) AS rank
+        FROM embeddings p JOIN embeddings n ON p.vec_id <> n.vec_id
+        WHERE p.vec_id < 5) t
+    WHERE rank <= 3 ORDER BY probe_id, rank
+"""
+
+
+def _hexbyte(pos: int) -> str:
+    """DuckDB expression: byte value of hex digit pair at 1-based
+    position `pos` of column hx (the sha256 hex digest)."""
+    return (
+        f"((instr('0123456789abcdef', substr(hx,{pos},1))-1)*16"
+        f" + instr('0123456789abcdef', substr(hx,{pos + 1},1))-1)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1006,11 +1133,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             ORDER BY c_custkey
         """,
-        "j2b_semi": """
-            SELECT c_mktsegment, count(*) AS n_customers FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-            GROUP BY c_mktsegment ORDER BY c_mktsegment
-        """,
         "join_3way": """
             SELECT n_name, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS revenue
@@ -1018,11 +1140,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
-        """,
-        "a1_status_rollup": """
-            SELECT o_orderstatus, count(*) AS n,
-                   round(avg(o_totalprice), 4) AS avg_price
-            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "a2_manifest_counts": """
             SELECT o_orderpriority, count(*) AS input_count,
@@ -1053,21 +1170,6 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
-        """,
-        "tpch_q5": """
-            SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   count(*) AS n_items
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            WHERE r_name = 'ASIA'
-              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-            GROUP BY n_name ORDER BY n_name
         """,
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -1166,7 +1268,17 @@ def oracle_sql() -> dict[str, str]:
                           - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
                           / greatest(length(regexp_replace(text, '\s', '', 'g')), 1), 6) AS symbol_ratio,
                    length(text) < 100 AS too_short,
-                   length(text) > 350 AS too_long
+                   length(text) > 350 AS too_long,
+                   round(greatest(1.0 - (
+                       (CASE WHEN length(text) < 10 THEN 1.0
+                             WHEN length(text) > 8000 THEN 0.5 ELSE 0.0 END)
+                       + (CASE WHEN len(regexp_extract_all(text, '\S+')) < 3
+                               THEN 1.0 ELSE 0.0 END)
+                       + least(((length(regexp_replace(text, '\s', '', 'g'))
+                                 - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+                                / greatest(length(regexp_replace(text, '\s', '', 'g')), 1)) * 2.0,
+                               1.0)
+                       + 0.0) / 4.0, 0.0), 6) AS quality
             FROM documents ORDER BY doc_id
         """,
         "s3_partition_listing": """
@@ -1222,28 +1334,10 @@ def oracle_sql() -> dict[str, str]:
                        '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phone
             FROM documents ORDER BY doc_id
         """,
-        "quality_score": r"""
-            SELECT doc_id,
-                   round(greatest(1.0 - (
-                       (CASE WHEN length(text) < 10 THEN 1.0
-                             WHEN length(text) > 8000 THEN 0.5 ELSE 0.0 END)
-                       + (CASE WHEN len(regexp_extract_all(text, '\S+')) < 3
-                               THEN 1.0 ELSE 0.0 END)
-                       + least(((length(regexp_replace(text, '\s', '', 'g'))
-                                 - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
-                                / greatest(length(regexp_replace(text, '\s', '', 'g')), 1)) * 2.0,
-                               1.0)
-                       + 0.0) / 4.0, 0.0), 6) AS quality
-            FROM documents ORDER BY doc_id
-        """,
         "token_count": r"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
-            FROM documents ORDER BY doc_id
-        """,
-        "fingerprint": r"""
-            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
             FROM documents ORDER BY doc_id
         """,
@@ -1264,40 +1358,59 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'es' ELSE 'de' END AS pred_lang
             FROM documents ORDER BY doc_id
         """,
-        "ngram_jaccard": r"""
-            WITH norm AS (
-                SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-                FROM documents WHERE doc_id < 200),
-            grams AS (
-                SELECT doc_id, DISTINCT_G.g FROM norm,
-                LATERAL (SELECT DISTINCT unnest(
-                    CASE WHEN len(w) >= 3
-                         THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
-                         ELSE [array_to_string(w, ' ')] END) AS g) AS DISTINCT_G),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
-            pairs AS (
-                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
-                FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-                GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.12
-            ORDER BY id_a, id_b
+        "ngram_jaccard": _NGRAM_TRUTH_SQL,
+        "minhash_lsh": _NGRAM_TRUTH_SQL,
+        "simhash": _NGRAM_TRUTH_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "ann_lsh": _COSINE_TOPK_SQL,
+        "ann_ivf": _COSINE_TOPK_SQL,
+        "multimodal_decode_stub": f"""
+            WITH h AS (
+                SELECT doc_id, octet_length(encode(text)) AS nb,
+                       sha256(text) AS hx
+                FROM documents)
+            SELECT doc_id,
+                   CAST(nb AS INTEGER) AS n_bytes,
+                   substr(hx, 1, 16) AS sha256_prefix,
+                   CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS width,
+                   CAST(64 + {_hexbyte(3)} % 192 AS INTEGER) AS height,
+                   'stub' AS codec
+            FROM h ORDER BY doc_id
         """,
-        "cosine_topk": """
-            SELECT probe_id, rank, nbr_id, sim FROM (
-                SELECT p.vec_id AS probe_id, n.vec_id AS nbr_id,
-                       round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 4) AS sim,
-                       row_number() OVER (
-                           PARTITION BY p.vec_id
-                           ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 4) DESC,
-                                    n.vec_id) AS rank
-                FROM embeddings p JOIN embeddings n ON p.vec_id <> n.vec_id
-                WHERE p.vec_id < 5) t
-            WHERE rank <= 3 ORDER BY probe_id, rank
+        "multimodal_resize": f"""
+            WITH h AS (
+                SELECT doc_id, sha256(text) AS hx
+                FROM documents WHERE doc_id < 200),
+            wh AS (
+                SELECT doc_id,
+                       64 + {_hexbyte(1)} % 192 AS w,
+                       64 + {_hexbyte(3)} % 192 AS h
+                FROM h),
+            s AS (
+                SELECT doc_id, w, h,
+                       least(224.0 / w, 224.0 / h, 1.0) AS scale
+                FROM wh)
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(greatest(trunc(w * scale), 1) AS INTEGER) AS out_w,
+                   CAST(greatest(trunc(h * scale), 1) AS INTEGER) AS out_h
+            FROM s ORDER BY doc_id
+        """,
+        "multimodal_frames": f"""
+            WITH h AS (
+                SELECT doc_id, sha256(text) AS hx
+                FROM documents WHERE doc_id < 100),
+            d AS (
+                SELECT doc_id,
+                       500 + ({_hexbyte(1)} * 256 + {_hexbyte(3)}) % 9500
+                           AS duration_ms
+                FROM h),
+            n AS (SELECT doc_id, greatest(duration_ms // 1000, 1) AS n_frames FROM d)
+            SELECT n.doc_id,
+                   CAST(r.i AS INTEGER) AS frame_idx,
+                   CAST(r.i * 1000 AS BIGINT) AS frame_ts_ms
+            FROM n JOIN range(0, 16) r(i) ON r.i < n.n_frames
+            ORDER BY doc_id, frame_idx
         """,
         "multimodal_meta": """
             SELECT doc_id,
@@ -1337,17 +1450,6 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
                   FROM orders GROUP BY 1, 2) t
             GROUP BY o_orderpriority ORDER BY o_orderpriority
-        """,
-        "rollup_matrix": """
-            SELECT coalesce(event_type, 'ALL') AS event_type,
-                   coalesce(qday, -1) AS qday,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
-            FROM (SELECT event_type,
-                         CAST(floor(extract(hour FROM ts) / 6) AS BIGINT) AS qday,
-                         value
-                  FROM events) t
-            GROUP BY ROLLUP (event_type, qday)
-            ORDER BY 1, 2
         """,
         "cube_matrix": """
             SELECT coalesce(event_type, 'ALL') AS event_type,
@@ -1395,3 +1497,74 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id
         """,
     }
+
+
+# Oracle SQL for the six queries pruned from the 50-entry driver
+# contract (see queries() docstring) — still value-checked locally by
+# tests/test_pruned_oracles.py so the operators cannot silently rot.
+PRUNED_QUERIES = {
+    "a1_status_rollup": q_a1_status_rollup,
+    "j2b_semi": q_j2b_semi,
+    "tpch_q5": q_tpch_q5,
+    "rollup_matrix": q_rollup_matrix,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+}
+
+PRUNED_ORACLES = {
+                            "a1_status_rollup": """
+        SELECT o_orderstatus, count(*) AS n,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "j2b_semi": """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "tpch_q5": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "rollup_matrix": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(qday, -1) AS qday,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM (SELECT event_type,
+                     CAST(floor(extract(hour FROM ts) / 6) AS BIGINT) AS qday,
+                     value
+              FROM events) t
+        GROUP BY ROLLUP (event_type, qday)
+        ORDER BY 1, 2
+    """,
+    "quality_score": r"""
+        SELECT doc_id,
+               round(greatest(1.0 - (
+                   (CASE WHEN length(text) < 10 THEN 1.0
+                         WHEN length(text) > 8000 THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN len(regexp_extract_all(text, '\S+')) < 3
+                           THEN 1.0 ELSE 0.0 END)
+                   + least(((length(regexp_replace(text, '\s', '', 'g'))
+                             - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+                            / greatest(length(regexp_replace(text, '\s', '', 'g')), 1)) * 2.0,
+                           1.0)
+                   + 0.0) / 4.0, 0.0), 6) AS quality
+        FROM documents ORDER BY doc_id
+    """,
+    "fingerprint": r"""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+}

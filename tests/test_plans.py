@@ -29,7 +29,7 @@ def test_filter_pushdown_reaches_scan(spark):
 
 def test_column_pruning_reaches_scan(spark):
     # 2-column projection from the 5-column documents table
-    plan = plan_of(E.queries()["fingerprint"](spark, SF))
+    plan = plan_of(E.PRUNED_QUERIES["fingerprint"](spark, SF))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan[:500]
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
@@ -53,7 +53,7 @@ def test_tpch_q5_broadcasts_dims_and_pushes_dates(spark):
     must reach the orders scan — at 100 TB a shuffled 25-row dim or an
     unpushed date filter is the difference between pruned reads and a
     full-table exchange."""
-    plan = plan_of(E.queries()["tpch_q5"](spark, SF))
+    plan = plan_of(E.PRUNED_QUERIES["tpch_q5"](spark, SF))
     assert "BroadcastHashJoin" in plan
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("o_orderdate" in p for p in pushed), pushed
