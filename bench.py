@@ -118,24 +118,29 @@ def main():
 
     # pipeline warm-up with the small-scale input and the IDENTICAL plan
     # shape (compiles/caches the annotate codegen + spins UDF workers) so
-    # the timed run measures steady state
+    # the timed run measures steady state; also fault the input parquet
+    # into the page cache so run 1 isn't a cold-IO outlier
+    with open(transcripts, "rb") as fh:
+        while fh.read(1 << 24):
+            pass
     time_pipeline(
         spark,
         ensure_transcripts("small"),
         os.path.join(REPO, ".bench_cache", scale, "out_warm"),
     )
-    # two timed runs, keep the better: single-run wall on this shared VM
-    # varies ±30%; BENCH/BASELINE.md's median-of-3 is the authoritative
-    # steady-state figure
-    pipe = min(
-        (
-            time_pipeline(
-                spark, transcripts, os.path.join(REPO, ".bench_cache", scale, "out")
-            )
-            for _ in range(2)
-        ),
-        key=lambda p: p["wall_sec"],
-    )
+    # MEDIAN of three timed runs, all walls reported: single-run wall on
+    # a shared VM varies ±30%+ and round 1 showed min-of-2 was not
+    # reproducible by the driver — the median plus the visible spread is
+    # the honest figure
+    runs = [
+        time_pipeline(
+            spark, transcripts, os.path.join(REPO, ".bench_cache", scale, "out")
+        )
+        for _ in range(3)
+    ]
+    pipe = sorted(runs, key=lambda p: p["wall_sec"])[len(runs) // 2]
+    pipe = dict(pipe)
+    pipe["runs_wall_sec"] = [r["wall_sec"] for r in runs]
     timings["pipeline_transcripts"] = pipe["wall_sec"]
     spark.stop()
 
@@ -151,6 +156,12 @@ def main():
 
     if os.environ.get("BENCH_SCALING") == "1":
         result["scaling"] = run_scaling(scale)
+
+    # persist for scripts/update_baseline_stats.py (claims regenerate
+    # from this artifact, never hand-written)
+    os.makedirs(os.path.join(REPO, ".bench_cache"), exist_ok=True)
+    with open(os.path.join(REPO, ".bench_cache", "last_bench.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
 
     print(json.dumps(result))
 
