@@ -93,3 +93,24 @@ def test_no_pii_survives(raw):
     s, _ = scrub_text_value(raw)
     s2, extra = scrub_text_value(s)
     assert extra == {}
+
+
+@given(
+    st.lists(st.sampled_from(["​", "‌", "‍", "⁠", "﻿", "­"]),
+             min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=28),
+)
+@settings(max_examples=100, deadline=None)
+def test_zero_width_obfuscation_never_evades_scrub(zw, pos):
+    """PROPERTY (SURVEY.md §2.8 D1): PII interleaved with any mix of
+    zero-width/format characters at any position must still be scrubbed
+    once the D1 normalization runs — the fused-UDF order is
+    normalize -> scrub, so annotate_frame is the unit under test."""
+    from pii_redaction_data_pipeline_spark.functions.fused import annotate_frame
+
+    pii = "mail jane.doe@example.com now"
+    p = min(pos, len(pii))
+    obfuscated = pii[:p] + "".join(zw) + pii[p:]
+    out = annotate_frame(pd.Series([obfuscated]))
+    assert out["scrubbed_text"].iloc[0] == "mail [REDACTED EMAIL] now"
+    assert out["scrub_counts"].iloc[0] == {"EMAIL": 1}
