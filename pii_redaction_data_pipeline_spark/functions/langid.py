@@ -67,6 +67,62 @@ for _w, _wid in _WORD_TO_ID.items():
             _LANG_MAT[_wid, _li] = 1.0
 _ALPHA_PAT = re.compile(_ALPHA_RE)
 
+# --- packed-word machinery for the ASCII fast path ------------------------
+# Every stopword is <= 8 ASCII chars, so a word run of length <= 8 packs
+# losslessly into one uint64 (byte j of the run -> bits [8j, 8j+8)); runs
+# longer than 8 chars cannot equal any stopword. Matching is then a
+# vectorized np.searchsorted against the 50 packed stopwords — exact (no
+# hashing, no collisions), and \b semantics fall out of taking MAXIMAL
+# word-char runs. ASCII-only: a batch containing any non-ASCII text falls
+# back to the combined-regex path (identical semantics, pinned by
+# test_langid_fast_matches_reference).
+assert max(len(w) for w in _ALL_WORDS) <= 8
+
+
+def _pack_words(words: list[str]) -> np.ndarray:
+    out = np.zeros(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        v = 0
+        for j, ch in enumerate(w.encode("ascii")):
+            v |= ch << (8 * j)
+        out[i] = v
+    return out
+
+
+_PACKED_SORTED = _pack_words(_ALL_WORDS)
+_PACKED_ORDER = np.argsort(_PACKED_SORTED, kind="stable").astype(np.int64)
+_PACKED_SORTED = _PACKED_SORTED[_PACKED_ORDER]
+
+
+def _stopword_hits_ascii(joined: str) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, word_ids) of every \\b-anchored stopword occurrence in
+    an all-ASCII lowercased '\\n'-joined batch — no regex engine."""
+    b = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    is_word = (
+        ((b >= 0x61) & (b <= 0x7A))
+        | ((b >= 0x30) & (b <= 0x39))
+        | (b == 0x5F)
+        | ((b >= 0x41) & (b <= 0x5A))
+    )
+    prev = np.concatenate(([False], is_word[:-1]))
+    nxt = np.concatenate((is_word[1:], [False]))
+    starts = np.flatnonzero(is_word & ~prev)
+    ends = np.flatnonzero(is_word & ~nxt) + 1
+    lens = ends - starts
+    short = lens <= 8
+    starts_s = starts[short]
+    lens_s = lens[short]
+    pack = np.zeros(len(starts_s), dtype=np.uint64)
+    for j in range(8):
+        m = lens_s > j
+        if not m.any():
+            break
+        pack[m] |= b[starts_s[m] + j].astype(np.uint64) << np.uint64(8 * j)
+    idx = np.searchsorted(_PACKED_SORTED, pack)
+    idx_c = idx.clip(max=len(_PACKED_SORTED) - 1)
+    hit = _PACKED_SORTED[idx_c] == pack
+    return starts_s[hit], _PACKED_ORDER[idx_c[hit]]
+
 
 def _counts_by_row(mask: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     """Per-row sums of a boolean mask over concatenated text (empty-row safe)."""
@@ -114,53 +170,68 @@ def _verdict(
 
 
 def langid_frame(texts: pd.Series) -> pd.DataFrame:
-    """-> DataFrame(lang:str, lang_conf:float64) per input row (fast path)."""
+    """-> DataFrame(lang:str, lang_conf:float64) per input row (fast path).
+
+    The batch is PARTITIONED by per-row isascii(): ASCII rows (the
+    overwhelming majority at corpus scale) take the packed-word numpy
+    scan (no regex engine) and by construction need no script detection;
+    only the non-ASCII remainder pays the UTF-32 script masks and the
+    combined-alternation regex (Unicode \\b semantics). A whole-batch
+    gate was useless in practice: one non-ASCII row per batch forced the
+    slow path on everything."""
     s = texts.fillna("").str.lower()
     vals = s.tolist()
-    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=len(vals))
+    n = len(vals)
+    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=n)
     n_chars = lens.clip(min=1)
+    ascii_mask = np.fromiter((t.isascii() for t in vals), dtype=bool, count=n)
 
-    # concatenate with '\n' separators ('\n' is a word boundary, matches
-    # the per-row string start/end boundary semantics)
-    joined = "\n".join(vals)
-    # row r spans [starts[r], ends[r]) in codepoint coordinates
-    bounds = np.cumsum(lens + 1)
-    starts = bounds - (lens + 1)
-    ends = bounds - 1
+    counts = np.zeros((n, len(LATIN_LANGS)), dtype=np.float64)
+    cjk = np.zeros(n, dtype=np.int64)
+    cyr = np.zeros(n, dtype=np.int64)
 
-    # script detection only when any non-Latin-1 codepoint exists at all
-    # (pure-ASCII batches — the common case at corpus scale — skip the
-    # whole UTF-32 mask machinery)
-    if not joined.isascii():  # O(1): checks the string's internal kind
-        cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+    def accumulate(rows: np.ndarray, wids: np.ndarray):
+        for li in range(len(LATIN_LANGS)):
+            sel = _LANG_MAT[wids, li] > 0
+            if sel.any():
+                counts[:, li] += np.bincount(rows[sel], minlength=n)
+
+    a_idx = np.flatnonzero(ascii_mask)
+    if len(a_idx):
+        vals_a = [vals[i] for i in a_idx]
+        joined_a = "\n".join(vals_a)
+        bounds_a = np.cumsum(lens[a_idx] + 1)
+        positions, wids = _stopword_hits_ascii(joined_a)
+        accumulate(a_idx[np.searchsorted(bounds_a, positions, side="right")], wids)
+
+    na_idx = np.flatnonzero(~ascii_mask)
+    if len(na_idx):
+        vals_na = [vals[i] for i in na_idx]
+        joined_na = "\n".join(vals_na)
+        # row r of the group spans [starts[r], ends[r]) in codepoints
+        bounds_na = np.cumsum(lens[na_idx] + 1)
+        starts_na = bounds_na - (lens[na_idx] + 1)
+        ends_na = bounds_na - 1
+        cp = np.frombuffer(joined_na.encode("utf-32-le"), dtype="<u4")
         cjk_mask = ((cp >= 0x4E00) & (cp <= 0x9FFF)) | (
             (cp >= 0x3040) & (cp <= 0x30FF)
         )
         cyr_mask = (cp >= 0x0400) & (cp <= 0x04FF)
-        cjk = _counts_by_row(cjk_mask, starts, ends)
-        cyr = _counts_by_row(cyr_mask, starts, ends)
-    else:
-        cjk = np.zeros(len(vals), dtype=np.int64)
-        cyr = cjk
-
-    # one combined stopword pass over the whole batch (re.split with a
-    # capture: C-speed scan, no per-hit Match objects); word positions
-    # come from cumulative piece lengths, attribution is numpy bincount
-    counts = np.zeros((len(vals), len(LATIN_LANGS)), dtype=np.float64)
-    pieces = _COMBINED_SPLIT_RE.split(joined)
-    if len(pieces) > 1:
-        piece_lens = np.fromiter(map(len, pieces), dtype=np.int64, count=len(pieces))
-        piece_starts = np.concatenate([[0], np.cumsum(piece_lens[:-1])])
-        positions = piece_starts[1::2]  # odd pieces are the matched words
-        words = pieces[1::2]
-        rows = np.searchsorted(bounds, positions, side="right")
-        wids = np.fromiter(
-            (_WORD_TO_ID[w] for w in words), dtype=np.int64, count=len(words)
-        )
-        for li in range(len(LATIN_LANGS)):
-            sel = _LANG_MAT[wids, li] > 0
-            if sel.any():
-                counts[:, li] = np.bincount(rows[sel], minlength=len(vals))
+        cjk[na_idx] = _counts_by_row(cjk_mask, starts_na, ends_na)
+        cyr[na_idx] = _counts_by_row(cyr_mask, starts_na, ends_na)
+        # re.split with a capture: C-speed scan, no per-hit Match
+        # objects; word positions come from cumulative piece lengths
+        pieces = _COMBINED_SPLIT_RE.split(joined_na)
+        if len(pieces) > 1:
+            piece_lens = np.fromiter(map(len, pieces), dtype=np.int64, count=len(pieces))
+            piece_starts = np.concatenate([[0], np.cumsum(piece_lens[:-1])])
+            positions = piece_starts[1::2]  # odd pieces are the matched words
+            words = pieces[1::2]
+            rows = na_idx[np.searchsorted(bounds_na, positions, side="right")]
+            wids = np.fromiter(
+                (_WORD_TO_ID[w] for w in words), dtype=np.int64, count=len(words)
+            )
+            accumulate(rows, wids)
 
     def letters_fn():
         # needed only as the Cyrillic-share denominator -> compute on the

@@ -126,9 +126,16 @@ def scrub_text_value(text: str) -> tuple[str, dict[str, int]]:
 
 # cheap prefilters: a pattern can only match rows containing its trigger
 # (a literal char or the digit-core prescan), so the expensive
-# count+replace scans run on that subset only. (A contains-prefilter for
-# the profanity list was measured SLOWER than the anchored count scan —
-# the (?i) unanchored alternation defeats re's literal optimizations.)
+# count+replace scans run on that subset only.
+# PROFANITY trigger: the (?i) unanchored alternation defeats re's literal
+# optimizations (measured ~7.6 us/row over a full batch), but a casefolded
+# plain-substring prefilter is a guaranteed superset of \b-anchored (?i)
+# matches — `casefold` (not `lower`) because re's IGNORECASE matches
+# extended foldings like U+017F LONG S ~ 's'. frakking ⊃ frak, so frak
+# covers both.
+_PROFANITY_TRIGGERS: tuple[str, ...] = (
+    "frak", "gorram", "smeg", "shazbot", "felgercarb",
+)
 _TRIGGERS: dict[int, str | None] = {}
 for _idx, (_t, _p, _l) in enumerate(PATTERNS):
     if _t == "EMAIL":
@@ -137,8 +144,40 @@ for _idx, (_t, _p, _l) in enumerate(PATTERNS):
         _TRIGGERS[_idx] = ":"
     elif _t in ("IP", "SSN", "CREDIT_CARD", "PHONE"):
         _TRIGGERS[_idx] = "digit"
+    elif _t == "PROFANITY":
+        _TRIGGERS[_idx] = "profanity"
     else:
         _TRIGGERS[_idx] = None
+
+
+def _digit_core_mask(s: pd.Series) -> np.ndarray:
+    """Rows containing three consecutive digits or a digit.digit core —
+    a guaranteed superset of every IPv4/SSN/CC/PHONE match. ASCII batches
+    use a numpy window scan (~5x cheaper than the regex); the windows
+    cannot cross rows because the '\\n' join separator fails every
+    position of both patterns."""
+    vals = s.tolist()
+    n = len(vals)
+    out = np.zeros(n, dtype=bool)
+    ascii_mask = np.fromiter((t.isascii() for t in vals), dtype=bool, count=n)
+    na_idx = np.flatnonzero(~ascii_mask)
+    if len(na_idx):  # regex only over the (rare) non-ASCII rows
+        sub = s.iloc[na_idx]
+        out[na_idx] = sub.str.contains(r"[0-9]{3}|[0-9]\.[0-9]", regex=True).to_numpy()
+    a_idx = np.flatnonzero(ascii_mask)
+    if len(a_idx):
+        vals_a = [vals[i] for i in a_idx]
+        joined = "\n".join(vals_a)
+        b = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        if len(b) >= 3:
+            d = (b >= 0x30) & (b <= 0x39)
+            core = (d[:-2] & d[1:-1] & d[2:]) | (d[:-2] & (b[1:-1] == 0x2E) & d[2:])
+            pos = np.flatnonzero(core)
+            if len(pos):
+                lens = np.fromiter(map(len, vals_a), dtype=np.int64, count=len(vals_a))
+                bounds = np.cumsum(lens + 1)
+                out[a_idx[np.searchsorted(bounds, pos, side="right")]] = True
+    return out
 
 
 def scrub_frame(texts: pd.Series) -> pd.DataFrame:
@@ -148,17 +187,19 @@ def scrub_frame(texts: pd.Series) -> pd.DataFrame:
     """
     s = texts.fillna("")
     per_type = {t: np.zeros(len(s), dtype=np.int64) for t in PII_TYPES}
-    # Every digit-triggered pattern (IPv4/SSN/CC/PHONE) requires three
-    # consecutive digits or a digit.digit core as a substring, so this
-    # single cheap prescan is a guaranteed superset of their matches —
     # rows with only small scattered numbers ("returned 12 items") skip
-    # all four expensive pattern scans entirely.
-    has_digit = s.str.contains(r"[0-9]{3}|[0-9]\.[0-9]", regex=True).to_numpy()
+    # all four expensive digit-pattern scans entirely
+    has_digit = _digit_core_mask(s)
 
     for pat_i, (pii_type, rx, needs_luhn) in enumerate(_COMPILED):
         trigger = _TRIGGERS[pat_i]
         if trigger == "digit":
             cand = has_digit
+        elif trigger == "profanity":
+            folded = s.str.casefold()
+            cand = np.zeros(len(s), dtype=bool)
+            for w in _PROFANITY_TRIGGERS:
+                cand |= folded.str.contains(w, regex=False).to_numpy()
         elif trigger is not None:
             cand = s.str.contains(trigger, regex=False).to_numpy()
         else:
