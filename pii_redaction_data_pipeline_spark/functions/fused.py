@@ -81,6 +81,14 @@ def normalize_series(texts: pd.Series) -> pd.Series:
     return texts.map(normalize_text)
 
 
+# Collapse-to-single-space, allocation-free for already-clean rows:
+# r'\s+' -> ' ' rewrites EVERY row (each single space matches, so re.sub
+# rebuilds the string); matching only 2+ runs or non-space whitespace is
+# semantically identical and leaves the typical single-spaced row
+# untouched (re.sub returns the original object on zero matches).
+_WS_ANOMALY_RE = re.compile(r"\s\s+|[\t\n\x0b\f\r]", re.ASCII)
+
+
 def ppl_input_series(scrubbed: pd.Series) -> pd.Series:
     """Exact Python replica of the former JVM chain:
     trim(regexp_replace(regexp_replace(scrubbed, MASK, ' '), '\\s+', ' '))."""
@@ -88,10 +96,12 @@ def ppl_input_series(scrubbed: pd.Series) -> pd.Series:
     def strip_one(t: str) -> str:
         if "[REDACTED " in t:
             t = _MASK_RE.sub(" ", t)
-        return _WS_RE.sub(" ", t).strip(" ")
+        return _WS_ANOMALY_RE.sub(" ", t).strip(" ")
 
     return scrubbed.map(strip_one)
 
+
+_CHUNK_ROWS = 8192
 
 ANNOTATE_SCHEMA = T.StructType(
     [
@@ -159,8 +169,19 @@ def make_annotate_udf(spark=None, normalize: bool = True):
 
     @F.pandas_udf(ANNOTATE_SCHEMA)
     def annotate_udf(texts: pd.Series) -> pd.DataFrame:
-        return annotate_frame(
-            texts, logp=bc.value if bc is not None else None, normalize=normalize
-        )
+        logp = bc.value if bc is not None else None
+        # sub-chunk oversized Arrow batches: the batch-wide numpy
+        # temporaries are the UDF's memory footprint, and beyond ~10k
+        # rows the fresh-page cost of each big temp dominates (measured
+        # 2x wall on a 61k-row batch vs the same rows in 8k chunks).
+        # Spark's default maxRecordsPerBatch (10k) already lands in the
+        # sweet spot; this guards non-default configs.
+        if len(texts) <= _CHUNK_ROWS:
+            return annotate_frame(texts, logp=logp, normalize=normalize)
+        parts = [
+            annotate_frame(texts.iloc[i : i + _CHUNK_ROWS], logp=logp, normalize=normalize)
+            for i in range(0, len(texts), _CHUNK_ROWS)
+        ]
+        return pd.concat(parts)
 
     return annotate_udf

@@ -77,37 +77,61 @@ def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
     """
     s = texts.fillna("")
     vals = s.tolist()
-    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=len(vals))
-    joined = "".join(vals)
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
-    bounds = np.concatenate([[0], np.cumsum(lens)])
-    starts_b, ends_b = bounds[:-1], bounds[1:]
+    n = len(vals)
+    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=n)
+    n_words = np.zeros(n, dtype=np.int64)
+    n_nonspace = np.zeros(n, dtype=np.int64)
+    n_wordchars = np.zeros(n, dtype=np.int64)
+    # Per-row ASCII partition: ASCII rows scan a uint8 view (4x fewer
+    # bytes than UTF-32) with int32 cumsums (2x fewer than int64) — the
+    # big temporaries here are the UDF's main memory traffic, which is
+    # what 32 co-resident workers contend on. Character-class codes are
+    # identical in both views, so one helper serves both groups.
+    ascii_mask = np.fromiter((t.isascii() for t in vals), dtype=bool, count=n)
 
-    # " \t\n\x0b\f\r" == 0x20 | 0x09..0x0D  (= _WS_CHARS / Java \s)
-    is_ws = (cp == 0x20) | ((cp >= 0x09) & (cp <= 0x0D))
-    nonws = ~is_ws
-    # [0-9A-Za-z_]  (= _WORD_CHARS / Java \w)
-    is_word = (
-        ((cp >= 0x30) & (cp <= 0x39))
-        | ((cp >= 0x41) & (cp <= 0x5A))
-        | ((cp >= 0x61) & (cp <= 0x7A))
-        | (cp == 0x5F)
-    )
-    # maximal \S+ runs: a run starts at a non-ws codepoint whose
-    # predecessor is ws — rows are concatenated with NO separator, so
-    # each row's first codepoint must be re-evaluated against its own
-    # row boundary, not the previous row's last char
-    prev_nonws = np.concatenate([[False], nonws[:-1]])
-    run_start = nonws & ~prev_nonws
-    row_first = starts_b[starts_b < len(cp)]
-    run_start[row_first] = nonws[row_first]
+    def scan(arr: np.ndarray, group_lens: np.ndarray, idx: np.ndarray):
+        bounds = np.concatenate([[0], np.cumsum(group_lens)])
+        starts_b, ends_b = bounds[:-1], bounds[1:]
+        # " \t\n\x0b\f\r" == 0x20 | 0x09..0x0D  (= _WS_CHARS / Java \s)
+        is_ws = (arr == 0x20) | ((arr >= 0x09) & (arr <= 0x0D))
+        nonws = ~is_ws
+        # [0-9A-Za-z_]  (= _WORD_CHARS / Java \w)
+        is_word = (
+            ((arr >= 0x30) & (arr <= 0x39))
+            | ((arr >= 0x41) & (arr <= 0x5A))
+            | ((arr >= 0x61) & (arr <= 0x7A))
+            | (arr == 0x5F)
+        )
+        # maximal \S+ runs: a run starts at a non-ws position whose
+        # predecessor is ws — rows are concatenated with NO separator,
+        # so each row's first position must be re-evaluated against its
+        # own row boundary, not the previous row's last char
+        prev_nonws = np.concatenate([[False], nonws[:-1]])
+        run_start = nonws & ~prev_nonws
+        row_first = starts_b[starts_b < len(arr)]
+        run_start[row_first] = nonws[row_first]
 
-    cs_runs = np.concatenate([[0], np.cumsum(run_start, dtype=np.int64)])
-    cs_nonws = np.concatenate([[0], np.cumsum(nonws, dtype=np.int64)])
-    cs_word = np.concatenate([[0], np.cumsum(is_word, dtype=np.int64)])
-    n_words = cs_runs[ends_b] - cs_runs[starts_b]
-    n_nonspace = cs_nonws[ends_b] - cs_nonws[starts_b]
-    n_wordchars = cs_word[ends_b] - cs_word[starts_b]
+        cs = np.empty(len(arr) + 1, dtype=np.int32)  # batches < 2^31 chars
+        for mask, out in (
+            (run_start, n_words),
+            (nonws, n_nonspace),
+            (is_word, n_wordchars),
+        ):
+            cs[0] = 0
+            np.cumsum(mask, dtype=np.int32, out=cs[1:])
+            out[idx] = cs[ends_b] - cs[starts_b]
+
+    a_idx = np.flatnonzero(ascii_mask)
+    if len(a_idx):
+        vals_a = [vals[i] for i in a_idx]
+        arr = np.frombuffer("".join(vals_a).encode("ascii"), dtype=np.uint8)
+        scan(arr, lens[a_idx], a_idx)
+    na_idx = np.flatnonzero(~ascii_mask)
+    if len(na_idx):
+        vals_na = [vals[i] for i in na_idx]
+        arr = np.frombuffer("".join(vals_na).encode("utf-32-le"), dtype="<u4")
+        scan(arr, lens[na_idx], na_idx)
+
     symbols = n_nonspace - n_wordchars
     ratio = np.where(
         n_nonspace == 0, 0.0, symbols / np.maximum(n_nonspace, 1)
