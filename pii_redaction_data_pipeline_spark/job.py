@@ -55,6 +55,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="do not persist the raw pre-scrub text (reference "
         "retain_orig_docs=false); halves shuffle/output bytes",
     )
+    p.add_argument(
+        "--no-normalize-unicode",
+        action="store_true",
+        help="disable the D1 NFKC/zero-width normalization stage "
+        "(on by default; see functions/fused.py normalize_text)",
+    )
     return p.parse_args(argv)
 
 
@@ -71,6 +77,8 @@ def build_config(args: argparse.Namespace):
         overrides["max_ppl"] = args.max_ppl
     if args.drop_original_text:
         overrides["retain_original_text"] = False
+    if args.no_normalize_unicode:
+        overrides["normalize_unicode"] = False
     return dataclasses.replace(PipelineConfig(), **overrides) if overrides else PipelineConfig()
 
 

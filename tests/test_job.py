@@ -24,6 +24,13 @@ def test_parse_and_config_overrides():
     assert cfg.max_ppl == 25.5
     # defaults untouched
     assert cfg.min_words == 3
+    assert cfg.normalize_unicode is True
+
+    args2 = job.parse_args(
+        ["--input", "/i", "--output", "/o", "--lineage", "/l",
+         "--no-normalize-unicode"]
+    )
+    assert job.build_config(args2).normalize_unicode is False
 
 
 def test_pyfiles_zip_self_contained(tmp_path):
