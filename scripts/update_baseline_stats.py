@@ -59,8 +59,9 @@ def main():
             f" walls {p.get('runs_wall_sec')} s,\n"
             f"  regenerated {time.strftime('%Y-%m-%d %H:%M')}. Per-run walls"
             f" make co-tenant contention\n  visible in the artifact; expect"
-            f" driver-measured figures in the 50-110k\n  band depending on"
-            f" load."
+            f" a driver-measured median within ~2x of\n  this figure"
+            f" depending on load (round 1 saw a 3.2x gap under a\n"
+            f"  min-of-2 protocol that hid the variance)."
         )
     lines.append(
         "- Scaling efficiency (N -> 4N parallelism stand-in): see\n"
