@@ -63,9 +63,29 @@ def tune_shuffle_partitions(
     return int(n)
 
 
-def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = None) -> DataFrame:
+def annotate(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    spark: SparkSession | None = None,
+    conv_partitioned: bool = False,
+) -> DataFrame:
     """transcripts -> annotated (adds lang, lang_conf, ppl, heuristic cols,
-    keep, drop_reasons, scrubbed_text, scrub_counts)."""
+    keep, drop_reasons, scrubbed_text, scrub_counts).
+
+    conv_partitioned=True declares that the input is the engine's OWN
+    bucketed output (a Spark bucketed table written by
+    TableIO.write_conv_bucketed_table, or an Iceberg bucket(conv_id)
+    layout): the window stage runs FIRST, directly on the scan — its
+    required distribution is satisfied by the bucket metadata, so the
+    plan contains ZERO exchange — and the fused UDF runs after it
+    (ArrowEvalPython resets partitioning metadata in Spark's planner, so
+    UDF-before-window would re-introduce the exchange; after the window
+    nothing downstream needs a distribution). The dup-detection hash is
+    computed JVM-side on the input text, which by the input contract is
+    already D1-normalized — so it equals the standard path's
+    normalized-text hash. For resumed/incremental re-processing this
+    removes the plan's only corpus-wide shuffle (pinned by
+    tests/test_plans.py::test_bucketed_table_windows_need_no_exchange)."""
     fused_udf = make_annotate_udf(spark, normalize=cfg.normalize_unicode)
 
     # normalize NULL text to '' up front: every downstream rule treats ''
@@ -90,7 +110,7 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     # count, salted so a skewed 30k-turn conversation spreads across
     # workers (safe: these stages are strictly per-row).
     n_parts = None
-    if spark is not None:
+    if spark is not None and not conv_partitioned:
         # volume-tuned shuffle partitions (run_pipeline sets the conf via
         # tune_shuffle_partitions), floored at 2x cores so AQE coalescing
         # and tiny inputs can't under-parallelize the exchange
@@ -107,6 +127,18 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
             df = salted_repartition(
                 df, salt_buckets=cfg.salt_buckets, num_partitions=n_parts
             )
+
+    if conv_partitioned:
+        # fast path: conversation windows BEFORE the UDF, on the scan's
+        # bucket distribution (zero exchange; see docstring)
+        from pii_redaction_data_pipeline_spark.operators.windows import (
+            _norm_text,
+            with_conversation_flags as _flags,
+        )
+
+        df = df.withColumn("_th", F.xxhash64(_norm_text(text)))
+        df = _flags(df, tool_loop_min_run=cfg.tool_loop_min_run, hash_col="_th")
+        df = df.drop("_th")
 
     # --- narrow, Arrow-batched stages (no shuffle) ---
     # ONE fused pandas UDF (langid + scrub + ppl-on-stripped-scrubbed +
@@ -145,24 +177,35 @@ def annotate(df: DataFrame, cfg: PipelineConfig, spark: SparkSession | None = No
     # reference's retain_orig_docs=false: originals deleted after
     # redaction, redact.py:240-243) — that halves phase-2 shuffle and
     # output bytes at corpus scale.
-    from pii_redaction_data_pipeline_spark.operators.windows import _norm_text
+    if not conv_partitioned:
+        from pii_redaction_data_pipeline_spark.operators.windows import _norm_text
 
-    df = df.withColumn("_th", F.xxhash64(_norm_text(text)))
-    if not cfg.retain_original_text:
-        df = df.drop("text")
-    else:
-        # delta-encode the scrubbed text across the shuffle: for the
-        # (typical) PII-free row it equals the raw text, so shipping it
-        # twice wastes ~45% of the exchange's text bytes — NULL it when
-        # identical and reconstruct from `text` after the windows
-        df = df.withColumn(
-            "_scrubbed", F.when(F.col("_scrubbed") != text, F.col("_scrubbed"))
+        df = df.withColumn("_th", F.xxhash64(_norm_text(text)))
+        if not cfg.retain_original_text:
+            df = df.drop("text")
+        else:
+            # delta-encode the scrubbed text across the shuffle: for the
+            # (typical) PII-free row it equals the raw text, so shipping
+            # it twice wastes ~45% of the exchange's text bytes — NULL it
+            # when identical and reconstruct from `text` after the windows
+            df = df.withColumn(
+                "_scrubbed", F.when(F.col("_scrubbed") != text, F.col("_scrubbed"))
+            )
+        df = df.repartition(n_parts, "conv_id") if n_parts else df.repartition("conv_id")
+        df = with_conversation_flags(
+            df, tool_loop_min_run=cfg.tool_loop_min_run, hash_col="_th"
         )
-    df = df.repartition(n_parts, "conv_id") if n_parts else df.repartition("conv_id")
-    df = with_conversation_flags(
-        df, tool_loop_min_run=cfg.tool_loop_min_run, hash_col="_th"
-    )
-    df = df.drop("_th")
+        df = df.drop("_th")
+    else:
+        # windows already computed pre-UDF; no shuffle anywhere, so the
+        # scrubbed delta-encoding would only save output bytes — still
+        # worth it when the raw text is retained
+        if not cfg.retain_original_text:
+            df = df.drop("text")
+        else:
+            df = df.withColumn(
+                "_scrubbed", F.when(F.col("_scrubbed") != text, F.col("_scrubbed"))
+            )
 
     # --- verdict assembly (pure JVM expressions) ---
     lang_fail = (~F.col("lang").isin(*cfg.allowed_langs)) & (
