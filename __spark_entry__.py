@@ -798,7 +798,12 @@ def q_json_props(spark, sf_dir):
 
 def q_segment_pack(spark, sf_dir):
     """Sentence segmentation + greedy packing (reference segment.py:82-114)
-    at a 120-char budget so the docs actually split."""
+    at a 120-char budget so the docs actually split. ORACLE-CHECKED since
+    round 2: the DuckDB side replays the exact semantics — the lookbehind
+    boundary regex is emulated with a sentinel insertion, the hard-break
+    via a range explode, and the greedy flush-on-overflow fold via a
+    recursive CTE — so n_segments and total coverage are value-matched,
+    not just row-counted."""
     from pii_redaction_data_pipeline_spark.functions.segment import make_segment_udf
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -806,12 +811,12 @@ def q_segment_pack(spark, sf_dir):
     segs = docs.select("doc_id", seg(F.col("text")).alias("segments"))
     return segs.select(
         "doc_id",
-        F.size("segments").alias("n_segments"),
+        F.size("segments").cast("long").alias("n_segments"),
         F.aggregate(
             F.transform("segments", lambda s: F.length(s)),
             F.lit(0),
             lambda acc, x: acc + x,
-        ).alias("total_chars"),
+        ).cast("long").alias("total_chars"),
     ).orderBy("doc_id")
 
 
@@ -1042,8 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        # rows-only (no oracle: non-SQL-expressible semantics)
+        # greedy segmentation/packing (recursive-CTE oracle)
         "segment_pack": q_segment_pack,
+        # rows-only (no oracle: non-SQL-expressible semantics)
         "pipeline_documents": q_pipeline_documents,
         "winnow_fingerprint": q_winnow_fingerprint,
         "transcripts_pipeline": q_transcripts_pipeline,
@@ -1395,6 +1401,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(trunc(w * scale), 1) AS INTEGER) AS out_w,
                    CAST(greatest(trunc(h * scale), 1) AS INTEGER) AS out_h
             FROM s ORDER BY doc_id
+        """,
+        # greedy sentence packing, replayed exactly in SQL: sentinel
+        # insertion emulates the lookbehind boundary regex, a range
+        # explode does the fixed-width hard-break, and a recursive CTE
+        # does the flush-on-overflow fold (trailing segment always
+        # emitted -> flushed + 1)
+        "segment_pack": r"""
+            WITH RECURSIVE
+            base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+            marked AS (
+                SELECT doc_id,
+                       regexp_replace(text, '([.!?]\s+|\n{2,})', '\1' || chr(1), 'g') AS m
+                FROM base),
+            pieces AS (SELECT doc_id, string_split(m, chr(1)) AS ps FROM marked),
+            rawsent AS (
+                SELECT doc_id, ps[i] AS piece, i
+                FROM pieces, LATERAL unnest(range(1, len(ps) + 1)) AS t(i)
+                WHERE NOT (i = len(ps) AND ps[i] = '')),
+            chunks AS (
+                SELECT doc_id, i AS sent_i, c AS chunk_i,
+                       least(120, length(piece) - (c - 1) * 120) AS slen
+                FROM rawsent,
+                     LATERAL unnest(range(1, CAST(ceil(length(piece) / 120.0) AS BIGINT) + 1)) AS t(c)),
+            ordered AS (
+                SELECT doc_id, slen,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY sent_i, chunk_i) AS i
+                FROM chunks),
+            nsent AS (SELECT doc_id, count(*) AS n FROM ordered GROUP BY doc_id),
+            fold AS (
+                SELECT doc_id, 0 AS i, 0 AS cur, 0 AS flushed FROM base
+                UNION ALL
+                SELECT f.doc_id, f.i + 1,
+                       CASE WHEN f.cur + o.slen > 120 THEN o.slen ELSE f.cur + o.slen END,
+                       f.flushed + CASE WHEN f.cur + o.slen > 120 THEN 1 ELSE 0 END
+                FROM fold f JOIN ordered o ON o.doc_id = f.doc_id AND o.i = f.i + 1),
+            final AS (
+                SELECT f.doc_id AS doc_id, f.flushed + 1 AS n_segments
+                FROM fold f JOIN nsent s ON s.doc_id = f.doc_id AND f.i = s.n)
+            SELECT b.doc_id AS doc_id,
+                   CAST(coalesce(fi.n_segments, 1) AS BIGINT) AS n_segments,
+                   CAST(length(b.text) AS BIGINT) AS total_chars
+            FROM base b LEFT JOIN final fi ON fi.doc_id = b.doc_id
+            ORDER BY doc_id
         """,
         "multimodal_frames": f"""
             WITH h AS (
