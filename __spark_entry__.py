@@ -925,13 +925,23 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_winnow_fingerprint(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints (array<long> per doc)."""
+    """Winnowing rolling-hash fingerprints. ORACLE-CHECKED since round
+    2: the UDF's gram hash is mod-p polynomial arithmetic over
+    codepoints (functions/text_stats.WINNOW_BASE/WINNOW_MOD) precisely
+    so DuckDB BIGINT SQL can replay it — count, min, and sum of the
+    distinct window minima are value-matched, not just row-counted."""
     from pii_redaction_data_pipeline_spark.functions.text_stats import make_winnow_udf
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     wn = make_winnow_udf()
-    return docs.select(
-        "doc_id", F.size(wn(F.col("text"))).alias("n_fingerprints")
+    fps = docs.select("doc_id", wn(F.col("text")).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.coalesce(F.element_at("fps", 1), F.lit(-1)).alias("fp_min"),
+        F.coalesce(
+            F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x), F.lit(0)
+        ).alias("fp_sum"),
     ).orderBy("doc_id")
 
 
@@ -1049,9 +1059,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         # greedy segmentation/packing (recursive-CTE oracle)
         "segment_pack": q_segment_pack,
-        # rows-only (no oracle: non-SQL-expressible semantics)
-        "pipeline_documents": q_pipeline_documents,
+        # winnowing fingerprints (mod-p hash, SQL-replayable oracle)
         "winnow_fingerprint": q_winnow_fingerprint,
+        # rows-only (no oracle: the full UDF pipelines — langid/KN-ppl/
+        # Luhn are not SQL-expressible; golden-fixture pytest equality
+        # is their value check, SURVEY.md §5)
+        "pipeline_documents": q_pipeline_documents,
         "transcripts_pipeline": q_transcripts_pipeline,
     }
 
@@ -1109,8 +1122,51 @@ def _hexbyte(pos: int) -> str:
     )
 
 
+def _winnow_sql() -> str:
+    """Exact SQL replay of make_winnow_udf (k=5, window=4): mod-p
+    polynomial gram hash over codepoints, sliding-window min, distinct."""
+    from pii_redaction_data_pipeline_spark.functions.text_stats import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+    )
+
+    terms = " +\n                ".join(
+        f"CAST(unicode(s[i+{j}]) AS BIGINT) * {pow(WINNOW_BASE, 4 - j, WINNOW_MOD)}"
+        for j in range(5)
+    )
+    return rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+            FROM documents WHERE doc_id < 100),
+        grams AS (
+            SELECT doc_id, i,
+                   ({terms}) % {WINNOW_MOD} AS h,
+                   length(s) - 5 + 1 AS n_h
+            FROM base, LATERAL unnest(range(1, length(s) - 5 + 2)) AS t(i)
+            WHERE length(s) >= 5),
+        mins AS (
+            SELECT doc_id, i, n_h,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+            FROM grams),
+        sel AS (SELECT DISTINCT doc_id, m FROM mins WHERE i <= greatest(n_h - 3, 1)),
+        agg AS (SELECT doc_id, count(*) AS n_fingerprints, min(m) AS fp_min,
+                       sum(m) AS fp_sum
+                FROM sel GROUP BY doc_id)
+        SELECT d.doc_id AS doc_id,
+               CAST(coalesce(a.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+               CAST(coalesce(a.fp_min, -1) AS BIGINT) AS fp_min,
+               CAST(coalesce(a.fp_sum, 0) AS BIGINT) AS fp_sum
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "winnow_fingerprint": _winnow_sql(),
         "s2_prefix_scan": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source IN ('src1','src2','src3')

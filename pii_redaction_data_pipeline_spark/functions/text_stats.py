@@ -43,10 +43,24 @@ def quality_score(
     return F.greatest(raw, F.lit(0.0))
 
 
+# Winnow hash parameters: polynomial base and a Mersenne-prime modulus.
+# Winnowing is hash-agnostic (any deterministic gram hash works); mod-p
+# int arithmetic (p < 2^31) is chosen over uint64 wraparound so the
+# EXACT same hash is computable in DuckDB BIGINT SQL — which is what
+# makes the `winnow_fingerprint` driver query value-checkable instead of
+# rows-only. Products stay < 2^55, safely inside int64/BIGINT.
+WINNOW_BASE = 263
+WINNOW_MOD = (1 << 31) - 1
+
+
 def make_winnow_udf(k: int = 5, window: int = 4):
-    """Winnowing document fingerprint: rolling 64-bit hash over char
-    k-grams, min-hash per sliding window, distinct sorted -> array<long>.
+    """Winnowing document fingerprint: rolling mod-p polynomial hash
+    over CODEPOINT k-grams of the whitespace-normalized lowercased text,
+    min per sliding window, distinct sorted -> array<long>.
     (Schleimer et al., SIGMOD'03 — public algorithm.)"""
+    weights = np.power(
+        np.int64(WINNOW_BASE), np.arange(k - 1, -1, -1, dtype=np.int64)
+    ) % np.int64(WINNOW_MOD)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow_udf(texts: pd.Series) -> pd.Series:
@@ -56,23 +70,16 @@ def make_winnow_udf(k: int = 5, window: int = 4):
             if len(s) < k:
                 out.append([])
                 continue
-            data = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
-            n = len(data) - k + 1
-            if n <= 0:
-                out.append([])
-                continue
-            # polynomial rolling hash over k-byte windows, vectorized
-            weights = np.power(
-                np.uint64(1099511628211), np.arange(k - 1, -1, -1, dtype=np.uint64)
-            )
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            n = len(cp) - k + 1
             idx = np.arange(n)[:, None] + np.arange(k)[None, :]
-            h = (data[idx].astype(np.uint64) * weights[None, :]).sum(axis=1)
+            h = (cp[idx] * weights[None, :]).sum(axis=1) % WINNOW_MOD
             if len(h) <= window:
                 mins = np.array([h.min()])
             else:
                 win_idx = np.arange(len(h) - window + 1)[:, None] + np.arange(window)[None, :]
                 mins = np.unique(h[win_idx].min(axis=1))
-            out.append(mins.astype(np.int64).tolist())
+            out.append(mins.tolist())
         return pd.Series(out, index=texts.index)
 
     return winnow_udf

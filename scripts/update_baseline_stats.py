@@ -72,8 +72,9 @@ def main():
         f"- Correctness: exact keep/drop + scrubbed-text equality on golden\n"
         f"  fixtures; **{n_tests} pytest tests green**; **{n_o} of the {n_q}"
         f" driver-contract\n  queries value-matched against DuckDB oracles**"
-        f" ({n_q - n_o} rows-only by nature:\n  winnowing fingerprints and the"
-        f" two UDF pipelines — each\n  pinned by pytest"
+        f" ({n_q - n_o} rows-only by nature:\n  the two full UDF pipelines,"
+        f" whose langid/KN-ppl/Luhn stages are not\n  SQL-expressible — each"
+        f" pinned by pytest"
         f" equality/golden tests instead), plus {n_pruned} pruned queries\n"
         f"  oracle-checked in pytest (`tests/test_pruned_oracles.py`)."
     )
