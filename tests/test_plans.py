@@ -202,3 +202,17 @@ def test_bucketed_table_windows_need_no_exchange(spark, tiny, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bktest.transcripts_b")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_ann_and_topk_broadcast_probe_side(spark):
+    """The similarity queries must broadcast their (tiny) probe side —
+    a shuffled probe set at corpus scale would exchange the whole
+    embedding table instead of shipping a few vectors."""
+    plans = {
+        name: plan_of(E.queries()[name](spark, SF))
+        for name in ("cosine_topk", "ann_lsh", "ann_ivf")
+    }
+    assert "BroadcastNestedLoopJoin" in plans["cosine_topk"]  # != join
+    for name in ("ann_lsh", "ann_ivf"):
+        assert "BroadcastHashJoin" in plans[name], name
+        assert "SortMergeJoin" not in plans[name], name
