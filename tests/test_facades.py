@@ -8,8 +8,6 @@ import os
 import sys
 import types
 
-import pytest
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
