@@ -80,6 +80,57 @@ def run_streaming_pipeline(
 
 
 # ---------------------------------------------------------------------------
+# Watermarked event-time metrics
+# ---------------------------------------------------------------------------
+
+
+def streaming_turn_metrics(
+    stream_df,
+    output_path: str,
+    checkpoint_dir: str,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Event-time ingestion-rate metrics: per (time-window, role) turn and
+    character counts, with a WATERMARK bounding state and late data.
+
+    This is the streaming analog of the batch lineage totals: each
+    tumbling event-time window emits exactly once (append mode), when the
+    watermark — max event time seen minus `watermark_delay` — passes the
+    window's end. Turns arriving later than the watermark are DROPPED
+    from the aggregation (the documented late-data contract), and window
+    state older than the watermark is evicted, so state stays bounded at
+    10^12-turn scale no matter how long the stream runs. Returns the
+    StreamingQuery.
+    """
+    agg = (
+        stream_df.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_chars"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "role",
+            "n_turns",
+            "n_chars",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
 # Stateful cross-batch duplicate-turn detection
 # ---------------------------------------------------------------------------
 
