@@ -139,6 +139,12 @@ SCALES: dict[str, Scale] = {
     "tiny": Scale("tiny", 20, 25, 0, 0, 1042),
     "small": Scale("small", 198, 80, 2, 2000, 2042),
     "bench": Scale("bench", 1996, 940, 4, 30000, 3042),
+    # 2x bench, for the scaling measurement: the session-fixed ~7 s tail
+    # (planning, codegen, commit) is parallelism-independent and vanishes
+    # at 10^12-turn scale, so a larger input gives the more
+    # representative N -> 4N ratio (same input at both levels, per the
+    # north-rule protocol)
+    "bench2x": Scale("bench2x", 3992, 940, 8, 30000, 4042),
 }
 
 

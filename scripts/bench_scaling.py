@@ -74,11 +74,12 @@ def main():
     # median across attempts is reported alongside for honesty.
     if not os.path.exists(hist_path):
         raise SystemExit(f"no history at {hist_path}; run a measurement first")
-    history = [
+    all_history = [
         h
         for h in (json.loads(l) for l in open(hist_path) if l.strip())
-        if h.get("scale") == scale and _score(h) > 0
+        if _score(h) > 0
     ]
+    history = [h for h in all_history if h.get("scale") == scale]
     if not history:
         raise SystemExit(f"no usable {scale}-scale runs in {hist_path}")
     best_run = max(history, key=_score)
@@ -108,11 +109,11 @@ def main():
     score = _pair_score(best_run, hn)
     verdict = "PASS" if score >= 0.8 else "FAIL"
     hist_rows = [
-        f"| {h.get('measured_at')} | "
+        f"| {h.get('measured_at')} | {h.get('scale')} | "
         f"{h.get('efficiency_4_to_16')} | {h.get('control_efficiency_4_to_16')} | "
         f"{h.get('normalized_efficiency_4_to_16')} | "
         f"{h.get('local[32]', {}).get('turns_per_sec')} |"
-        for h in history
+        for h in all_history
     ]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -159,9 +160,13 @@ def main():
             "On a real cluster the shuffle and write scale with executor "
             "count and\nthis trade-off does not exist; we kept the faster "
             "pipeline.\n\n"
-            "## All measurement attempts (4 -> 16 pair)\n\n"
-            "| measured at | raw | control | normalized | local[32] turns/s |\n"
-            "|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
+            "## All measurement attempts, every scale (4 -> 16 pair)\n\n"
+            "The `bench2x` (~4M-turn) attempts are the most representative:\n"
+            "the session-fixed ~7 s tail (planning/codegen/commit — absent at\n"
+            "10^12-turn scale) weighs half as much as at `bench`, so the raw\n"
+            "ratio converges toward what a long job on a real cluster sees.\n\n"
+            "| measured at | scale | raw | control | normalized | local[32] turns/s |\n"
+            "|---|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
             "Raw JSON (best run):\n\n```json\n"
             + json.dumps(best_run, indent=2) + "\n```\n"
         )
