@@ -108,6 +108,12 @@ def main():
     norm = best_run.get(f"normalized_efficiency_{hn}_to_{4 * hn}")
     score = _pair_score(best_run, hn)
     verdict = "PASS" if score >= 0.8 else "FAIL"
+    scale_rows = []
+    for sc in sorted({h.get("scale") for h in all_history}):
+        ss = sorted(_score(h) for h in all_history if h.get("scale") == sc)
+        scale_rows.append(
+            f"| {sc} | {len(ss)} | {max(ss):.3f} | {ss[(len(ss) - 1) // 2]:.3f} |"
+        )
     hist_rows = [
         f"| {h.get('measured_at')} | {h.get('scale')} | "
         f"{h.get('efficiency_4_to_16')} | {h.get('control_efficiency_4_to_16')} | "
@@ -151,6 +157,10 @@ def main():
             f"control {ctl}, normalized {norm} => {verdict}** (target >= 0.8 "
             "on what the hardware can express). Median attempt score across "
             f"{len(history)} attempt(s): {median_score:.3f}.\n\n"
+            "Per-scale summary (score = best pair's max(raw, capped "
+            "normalized)):\n\n"
+            "| scale | attempts | best score | median score |\n"
+            "|---|---|---|---|\n" + "\n".join(scale_rows) + "\n\n"
             "Round-2 context for the attempt history: the round-2 pipeline "
             "is ~2x faster\nin its Python stages than round 1's, which "
             "SHRINKS the perfectly-parallel\nfraction of the job — on this "
