@@ -56,6 +56,26 @@ nb = lineage.select("partition_id").distinct().count()
 print("lineage buckets:", nb)
 assert nb == 16, nb
 
+# bucketed zero-shuffle fast path: plan has no Exchange and results
+# match the standard repartitioning path exactly
+from pii_redaction_data_pipeline_spark.config import PipelineConfig
+from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+
+src = spark.read.parquet(tp)
+spark.sql(f"CREATE DATABASE IF NOT EXISTS vdrive LOCATION '{d}/wh'")
+TableIO(spark, n_buckets=8).write_conv_bucketed_table(src, "vdrive.tb")
+fast = annotate(spark.table("vdrive.tb"), PipelineConfig(), spark, conv_partitioned=True)
+plan = fast._jdf.queryExecution().executedPlan().toString()
+assert "Exchange" not in plan, plan[:800]
+cols = ["conv_id", "turn_idx", "keep", "drop_reasons", "scrubbed_text"]
+a = fast.select(*cols).orderBy("conv_id", "turn_idx").collect()
+b = annotate(src, PipelineConfig(), spark).select(*cols).orderBy("conv_id", "turn_idx").collect()
+assert a == b
+print("bucketed fast path: zero-exchange plan, results identical")
+spark.sql("DROP TABLE vdrive.tb")
+spark.sql("DROP DATABASE vdrive")
+
 # driver entry
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import __spark_entry__ as E
