@@ -983,7 +983,16 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 def q_transcripts_pipeline(spark, sf_dir):
-    """Full pipeline on the deterministic synthetic transcript fixtures."""
+    """Full pipeline on the deterministic synthetic transcript fixtures,
+    ORACLE-CHECKED since round 2 against the fixture's golden labels
+    rendered as a literal VALUES table: the labels are PLANTED by the
+    generator (datagen.generate builds each turn from a category chosen
+    up front — clean / PII-templated / short / repetition / tool-loop —
+    and records the by-construction verdict), so they are independent of
+    every pipeline function and hashing them is a true value check of
+    langid+ppl+heuristics+scrub+windows end-to-end. scrubbed_text is
+    compared via md5 so the oracle SQL needs no string escaping; raw-text
+    equality stays pinned by tests/test_pipeline_golden.py."""
     from pii_redaction_data_pipeline_spark.config import PipelineConfig
     from pii_redaction_data_pipeline_spark.datagen import generate
     from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
@@ -992,8 +1001,41 @@ def q_transcripts_pipeline(spark, sf_dir):
     df = spark.createDataFrame(tdf)
     ann = annotate(df, PipelineConfig(), spark)
     return ann.select(
-        "conv_id", "turn_idx", "keep", _reasons_str(), "scrubbed_text"
+        "conv_id", "turn_idx", "keep", _reasons_str(),
+        F.md5("scrubbed_text").alias("scrub_md5"), _counts_str(),
     ).orderBy("conv_id", "turn_idx")
+
+
+def _transcripts_pipeline_oracle() -> str:
+    """Golden labels -> literal VALUES oracle (see q_transcripts_pipeline)."""
+    import hashlib
+
+    from pii_redaction_data_pipeline_spark.datagen import generate
+
+    _, labels = generate("tiny")
+    rows = []
+    for r in labels.itertuples(index=False):
+        md5 = (
+            "NULL"
+            if r.scrubbed_text is None
+            else "'%s'" % hashlib.md5(r.scrubbed_text.encode()).hexdigest()
+        )
+        counts = (
+            "NULL"
+            if r.scrub_counts is None
+            else "'%s'" % ",".join(f"{k}:{v}" for k, v in sorted(r.scrub_counts.items()))
+        )
+        rows.append(
+            "('%s',%d,%s,'%s',%s,%s)"
+            % (r.conv_id, r.turn_idx, str(bool(r.keep)).upper(),
+               "|".join(r.drop_reasons), md5, counts)
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(conv_id, turn_idx, keep, drop_reasons, scrub_md5, scrub_counts)"
+        " ORDER BY conv_id, turn_idx"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1167,6 +1209,7 @@ def _winnow_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "winnow_fingerprint": _winnow_sql(),
+        "transcripts_pipeline": _transcripts_pipeline_oracle(),
         "s2_prefix_scan": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source IN ('src1','src2','src3')
