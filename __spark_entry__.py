@@ -840,21 +840,169 @@ def _counts_str(col="scrub_counts"):
 
 
 def q_pipeline_documents(spark, sf_dir):
-    """The flagship pipeline over the documents corpus (UDF stages).
-    Array/map columns are canonicalized to strings so the driver's
-    rows/schema/hash checks can run (no SQL oracle — langid/KN-ppl/Luhn
-    are not SQL-expressible; golden-fixture equality in pytest is the
-    value check, SURVEY.md §5)."""
+    """The flagship pipeline over the documents corpus (UDF stages),
+    ORACLE-CHECKED since round 2 against an independent scalar
+    re-derivation rendered as a literal VALUES table (see
+    _pipeline_documents_oracle). Floats are emitted as round(x*1e4)
+    bigints: Spark's round() is HALF_UP over the double's shortest
+    decimal repr (BigDecimal.valueOf), which the oracle replicates
+    exactly with Decimal(repr(x)) — a '%.4f' format would diverge on
+    exactly-representable ties (e.g. 5/32), where JVM printf rounds
+    HALF_UP but Python rounds half-even. scrubbed_text is compared via
+    md5 so the oracle SQL needs no string escaping; raw scrubbed-text
+    equality stays pinned by the golden-fixture pytest (SURVEY.md §5)."""
     from pii_redaction_data_pipeline_spark.config import PipelineConfig
     from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
 
     tr = _documents_as_transcripts(spark, sf_dir)
     ann = annotate(tr, PipelineConfig(), spark)
     return ann.select(
-        "doc_id", "lang", F.round("lang_conf", 4).alias("lang_conf"),
-        F.round("ppl", 4).alias("ppl"), "keep", _reasons_str(),
-        "scrubbed_text", _counts_str(),
+        "doc_id", "lang",
+        F.round(F.col("lang_conf") * 10000, 0).cast("long").alias("lang_conf_e4"),
+        F.round(F.col("ppl") * 10000, 0).cast("long").alias("ppl_e4"),
+        "keep", _reasons_str(),
+        F.md5("scrubbed_text").alias("scrub_md5"), _counts_str(),
     ).orderBy("doc_id")
+
+
+def _pipeline_documents_oracle() -> str:
+    """Independent scalar re-derivation of the flagship pipeline over the
+    sf0.01 documents corpus, emitted as a VALUES literal the driver's
+    DuckDB side can run (the driver compares at sf=0.01 by contract).
+
+    Independence: langid uses langid_frame_reference (the per-pattern
+    pandas path, NOT the production combined-regex fast path), scrub uses
+    scrub_text_value (the scalar reference, NOT the vectorized
+    scrub_frame), text stats and rep_frac and the conversation windows
+    and the whole verdict assembly are re-derived here in plain Python —
+    so a bug in the vectorized UDF paths, the window algebra, the
+    delta-encodings across the shuffle, or the verdict expressions breaks
+    the hash match. The ONE shared numeric path is ppl_series (KN
+    perplexity): its float32 accumulation makes scalar re-computation
+    differ by ~1e-7, enough to flip a %.4f digit — so the oracle reuses
+    it and the scalar-vs-vectorized parity pytest pins its math
+    (tests/test_perplexity.py)."""
+    import hashlib
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import pandas as pd
+
+    from pii_redaction_data_pipeline_spark.config import DROP_REASONS, PipelineConfig
+    from pii_redaction_data_pipeline_spark.functions.fused import (
+        normalize_text,
+        ppl_input_series,
+    )
+    from pii_redaction_data_pipeline_spark.functions.langid import (
+        langid_frame_reference,
+    )
+    from pii_redaction_data_pipeline_spark.functions.perplexity import default_model
+    from pii_redaction_data_pipeline_spark.functions.scrub import scrub_text_value
+
+    cfg = PipelineConfig()
+    docs = duckdb.sql(
+        "SELECT doc_id, source, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet') "
+        "ORDER BY source, doc_id"
+    ).df()
+
+    norm = [normalize_text(t or "") for t in docs["text"]]
+    lid = langid_frame_reference(pd.Series(norm))
+    scrubbed, counts = zip(*(scrub_text_value(t) for t in norm))
+    ppl = default_model().ppl_series(ppl_input_series(pd.Series(scrubbed)))
+
+    def e4(x: float) -> int:
+        # exact replica of Spark round(x*10000, 0): HALF_UP over the
+        # shortest decimal repr (Java BigDecimal.valueOf == Python repr)
+        return int(
+            Decimal(repr(x * 10000.0)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+    nonws_re = _re.compile(r"\S+", _re.ASCII)
+    word_chars = set(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    )
+    ws_chars = set(" \t\n\x0b\f\r")
+
+    rows = []
+    seen_by_conv: dict[str, set[str]] = {}
+    for i in range(len(docs)):
+        t = norm[i]
+        n_chars = len(t)
+        n_words = len(nonws_re.findall(t))
+        nonspace = sum(1 for c in t if c not in ws_chars)
+        symbols = sum(1 for c in t if c not in ws_chars and c not in word_chars)
+        symbol_ratio = 0.0 if nonspace == 0 else symbols / nonspace
+        # rep_frac: chars covered by the most frequent word 3-gram
+        # (first-seen tie-break), capped at 1.0
+        words = t.split()
+        rep_frac = 0.0
+        if len(words) >= 3:
+            grams: dict[tuple, int] = {}
+            for g in zip(words, words[1:], words[2:]):
+                grams[g] = grams.get(g, 0) + 1
+            g, cnt = max(grams.items(), key=lambda kv: kv[1])
+            if cnt > 1:
+                glen = len(g[0]) + len(g[1]) + len(g[2]) + 2
+                rep_frac = min(cnt * glen / max(n_chars, 1), 1.0)
+
+        conv = docs["source"].iloc[i]
+        dup_key = ws_re.sub(" ", t).strip(" ").lower()
+        seen = seen_by_conv.setdefault(conv, set())
+        is_dup = dup_key in seen
+        seen.add(dup_key)
+
+        lang = lid["lang"].iloc[i]
+        lang_conf = float(lid["lang_conf"].iloc[i])
+        lang_fail = lang not in cfg.allowed_langs and lang_conf >= cfg.lang_min_conf
+        too_short = n_chars < cfg.min_chars or n_words < cfg.min_words
+        too_long = n_chars > cfg.max_chars
+        symbol = symbol_ratio > cfg.max_symbol_ratio
+        repetition = rep_frac > cfg.max_top3gram_frac
+        content = too_short or too_long or symbol or repetition
+        high_ppl = (
+            not lang_fail and not content and float(ppl.iloc[i]) > cfg.max_ppl
+        )
+        fired = {
+            "lang": lang_fail,
+            "too_short": not lang_fail and too_short,
+            "too_long": not lang_fail and too_long,
+            "symbol_ratio": not lang_fail and symbol,
+            "repetition": not lang_fail and repetition,
+            "high_ppl": high_ppl,
+            "duplicate_turn": is_dup,  # role is always 'user' for docs
+            "tool_loop": False,
+        }
+        reasons = [r for r in DROP_REASONS if fired[r]]
+        keep = not reasons
+        md5 = (
+            "'%s'" % hashlib.md5(scrubbed[i].encode()).hexdigest()
+            if keep
+            else "NULL"
+        )
+        cstr = (
+            "'%s'" % ",".join(f"{k}:{v}" for k, v in sorted(counts[i].items()))
+            if keep
+            else "NULL"
+        )
+        rows.append(
+            "(%d,'%s',%d,%d,%s,'%s',%s,%s)"
+            % (
+                int(docs["doc_id"].iloc[i]), lang, e4(lang_conf),
+                e4(float(ppl.iloc[i])), str(keep).upper(), "|".join(reasons),
+                md5, cstr,
+            )
+        )
+    return (
+        "SELECT doc_id, lang, CAST(lang_conf_e4 AS BIGINT) AS lang_conf_e4,"
+        " CAST(ppl_e4 AS BIGINT) AS ppl_e4, keep, drop_reasons,"
+        " scrub_md5, scrub_counts FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(doc_id, lang, lang_conf_e4, ppl_e4, keep, drop_reasons,"
+        " scrub_md5, scrub_counts) ORDER BY doc_id"
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1210,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "winnow_fingerprint": _winnow_sql(),
         "transcripts_pipeline": _transcripts_pipeline_oracle(),
+        "pipeline_documents": _pipeline_documents_oracle(),
         "s2_prefix_scan": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source IN ('src1','src2','src3')

@@ -92,13 +92,14 @@ def main():
             else ""
         )
     )
+    rows_only = (
+        f" ({n_q - n_o} rows-only)" if n_q > n_o else " (0 rows-only)"
+    )
     lines.append(
         f"- Correctness: exact keep/drop + scrubbed-text equality on golden\n"
         f"  fixtures; **{n_tests} pytest tests green**; **{n_o} of the {n_q}"
-        f" driver-contract\n  queries value-matched against DuckDB oracles**"
-        f" ({n_q - n_o} rows-only by nature:\n  pipeline_documents, whose"
-        f" KN-perplexity stage is not SQL-expressible —\n  pinned by pytest"
-        f" golden equality instead), plus {n_pruned} pruned queries\n"
+        f" driver-contract\n  queries value-matched against DuckDB"
+        f" oracles**{rows_only}, plus {n_pruned} pruned queries\n"
         f"  oracle-checked in pytest (`tests/test_pruned_oracles.py`)."
     )
     lines.append("<!-- stats:end -->")
