@@ -145,6 +145,10 @@ SCALES: dict[str, Scale] = {
     # representative N -> 4N ratio (same input at both levels, per the
     # north-rule protocol)
     "bench2x": Scale("bench2x", 3992, 940, 8, 30000, 4042),
+    # 4x bench (~8M turns): tail weighs a quarter of what it does at
+    # `bench`, so the raw N -> 4N ratio is the closest this sandbox gets
+    # to a long cluster job's steady state
+    "bench4x": Scale("bench4x", 7984, 940, 16, 30000, 5042),
 }
 
 

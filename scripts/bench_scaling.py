@@ -17,7 +17,8 @@ pair: raw pipeline efficiency, same-moment control efficiency, and
 NORMALIZED efficiency (pipeline / control) — how much of the scaling the
 box actually delivered the pipeline captured.
 
-Usage: python scripts/bench_scaling.py [scale]   (scale: tiny|small|bench)
+Usage: python scripts/bench_scaling.py [scale]
+(scale: tiny|small|bench|bench2x|bench4x — see datagen.SCALES)
 """
 
 from __future__ import annotations
