@@ -865,7 +865,7 @@ def q_pipeline_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _pipeline_documents_oracle() -> str:
+def _pipeline_documents_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Independent scalar re-derivation of the flagship pipeline over the
     sf0.01 documents corpus, emitted as a VALUES literal the driver's
     DuckDB side can run (the driver compares at sf=0.01 by contract).
@@ -903,7 +903,7 @@ def _pipeline_documents_oracle() -> str:
     cfg = PipelineConfig()
     docs = duckdb.sql(
         "SELECT doc_id, source, text FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet') "
+        f"read_parquet('{sf_dir}/documents.parquet') "
         "ORDER BY source, doc_id"
     ).df()
 

@@ -51,3 +51,23 @@ def test_pruned_query_matches_oracle(name, spark, ducks):
             assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True), c
         else:
             assert (a.astype(object) == b.astype(object)).all(), c
+
+
+def test_documents_oracle_rederivation_holds_at_other_sf(spark, ducks):
+    """The flagship's VALUES oracle is an independent scalar re-derivation
+    parameterized by corpus dir; the driver compares at sf0.01. Running
+    the same comparison at sf0.001 (a different corpus) guards against
+    the oracle accidentally overfitting one input — any divergence
+    between the scalar re-derivation and the vectorized/distributed
+    pipeline shows up as a value mismatch here."""
+    import __spark_entry__ as E
+
+    sdf = _canon(E.queries()["pipeline_documents"](spark, SF_DIR).toPandas())
+    ddf = _canon(ducks.execute(E._pipeline_documents_oracle(SF_DIR)).fetchdf())
+    assert len(sdf) == len(ddf) > 0
+    assert list(sdf.columns) == list(ddf.columns)
+    for c in sdf.columns:
+        assert (
+            sdf[c].astype(object).where(sdf[c].notna(), None)
+            == ddf[c].astype(object).where(ddf[c].notna(), None)
+        ).all(), c
