@@ -195,9 +195,15 @@ def main():
         result["scaling"] = run_scaling(scale)
 
     # persist for scripts/update_baseline_stats.py (claims regenerate
-    # from this artifact, never hand-written)
+    # from this artifact, never hand-written); also append to a run
+    # history so the stats block can state the spread across windows
+    # rather than whichever single window ran last
     os.makedirs(os.path.join(REPO, ".bench_cache"), exist_ok=True)
     with open(os.path.join(REPO, ".bench_cache", "last_bench.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
+    result["measured_at"] = time.strftime("%Y-%m-%d %H:%M")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "bench_history.jsonl"), "a") as f:
         f.write(json.dumps(result) + "\n")
 
     print(json.dumps(result))

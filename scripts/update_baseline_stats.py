@@ -35,6 +35,19 @@ def main():
         lines = [l for l in open(bench_path) if l.strip().startswith("{")]
         if lines:
             bench = json.loads(lines[-1])
+    if bench is not None and bench.get("sf") != 0.1:
+        # the headline claim is the sf0.1 bench scale; a verify/dev run at
+        # another sf may have overwritten last_bench.json — fall back to
+        # the newest sf0.1 record in the run history
+        bh = os.path.join(REPO, "BENCH", "bench_history.jsonl")
+        if os.path.exists(bh):
+            for l in open(bh):
+                try:
+                    r = json.loads(l)
+                except json.JSONDecodeError:
+                    continue
+                if r.get("sf") == 0.1 and "pipeline" in r:
+                    bench = r
 
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
@@ -72,6 +85,27 @@ def main():
                 else ""
             )
         )
+    bh = os.path.join(REPO, "BENCH", "bench_history.jsonl")
+    if os.path.exists(bh):
+        meds = []
+        for l in open(bh):
+            try:
+                r = json.loads(l)
+                if r.get("sf") != 0.1:  # spread is for the sf0.1 bench scale
+                    continue
+                meds.append((r["pipeline"]["turns_per_sec"], r.get("measured_at")))
+            except (KeyError, json.JSONDecodeError):
+                continue
+        if len(meds) >= 2:
+            vals = sorted(v for v, _ in meds)
+            lines.append(
+                f"- Cross-window spread: {len(meds)} full `bench.py` runs recorded"
+                f" (`BENCH/bench_history.jsonl`);\n  per-run medians"
+                f" {vals[0]:,.0f}-{vals[-1]:,.0f} turns/sec, median-of-runs"
+                f" **{vals[(len(vals) - 1) // 2]:,.0f} turns/sec** —\n"
+                f"  the spread is the VM's minute-scale throttle, measured in"
+                f" place by the control\n  fields inside each run's JSON."
+            )
     best32 = None
     hist = os.path.join(REPO, "BENCH", "history.jsonl")
     if os.path.exists(hist):
