@@ -1094,7 +1094,11 @@ def q_winnow_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_decode_stub(spark, sf_dir):
-    """Stubbed media decode via mapInPandas (schema/batch plumbing real)."""
+    """Stubbed media decode via mapInPandas (schema/batch plumbing real).
+
+    Not registered in queries() (50-entry harness budget; the resize and
+    frame-sample entries keep the multimodal family oracle-checked) —
+    kept callable for tests/test_facades.py and direct use."""
     from pii_redaction_data_pipeline_spark.operators.multimodal import (
         attach_binary,
         decode_image_meta,
@@ -1102,6 +1106,41 @@ def q_multimodal_decode_stub(spark, sf_dir):
 
     docs = attach_binary(_t(spark, sf_dir, "documents"))
     return decode_image_meta(docs).orderBy("doc_id")
+
+
+def q_entities_extract(spark, sf_dir):
+    """D2/D3 explicit entity extraction (functions/entities.py): the
+    reference's Comprehend entity-list analog (redact.py:158-163),
+    exploded to scalar rows. The oracle re-derives the same entities in
+    DuckDB via progressive-mask regexp_extract_all with the identical
+    RE2-safe patterns and precedence. CREDIT_CARD is excluded from this
+    projection (its Luhn gate is not SQL-expressible; pinned by
+    tests/test_entities.py instead); begin/end offsets likewise (no SQL
+    offsets; pinned by the span-replay tests)."""
+    from pii_redaction_data_pipeline_spark.functions.entities import (
+        make_entities_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(
+            " reach me: jane.doe@example.com or (555) 123-4567"
+            " ssn 123-45-6789 host 10.0.0."
+        ),
+        (F.col("doc_id") % 250 + 1).cast("string"),
+    )
+    e = F.explode(make_entities_udf()(planted)).alias("e")
+    return (
+        docs.select("doc_id", e)
+        .select(
+            "doc_id",
+            F.col("e.type").alias("ent_type"),
+            F.col("e.text").alias("ent_text"),
+        )
+        .filter(F.col("ent_type") != "CREDIT_CARD")
+        .orderBy("doc_id", "ent_type", "ent_text")
+    )
 
 
 def q_multimodal_resize(spark, sf_dir):
@@ -1244,7 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # multimodal plumbing (deterministic stub codecs, oracle-checked)
-        "multimodal_decode_stub": q_multimodal_decode_stub,
+        "entities_extract": q_entities_extract,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         # greedy segmentation/packing (recursive-CTE oracle)
@@ -1351,6 +1390,45 @@ def _winnow_sql() -> str:
         FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
         LEFT JOIN agg a ON a.doc_id = d.doc_id
         ORDER BY doc_id
+    """
+
+
+def _entities_oracle_sql() -> str:
+    """DuckDB re-derivation of q_entities_extract: the same RE2-safe
+    patterns applied in the scrubber's precedence order to progressively
+    masked text (a later type can never match inside an earlier type's
+    mask), one UNION ALL arm per entity type. The CC/Luhn stage is
+    intentionally absent — mirrored by the Spark side's type filter (a
+    Luhn gate is not SQL-expressible; phone matches cannot occur inside
+    an unmasked 4-4-4-4 card span, so skipping the CC mask is safe)."""
+    from pii_redaction_data_pipeline_spark.functions.scrub import (
+        EMAIL_RE,
+        IPV4_RE,
+        IPV6_RE,
+        PHONE_RE,
+        PROFANITY_RE,
+        SSN_RE,
+    )
+
+    plant = (
+        "text || ' reach me: jane.doe@example.com or (555) 123-4567"
+        " ssn 123-45-6789 host 10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)"
+    )
+    return f"""
+        WITH s0 AS (SELECT doc_id, {plant} AS t0 FROM documents),
+        s1 AS (SELECT doc_id, t0, regexp_replace(t0, '{EMAIL_RE}', '[REDACTED EMAIL]', 'g') AS t1 FROM s0),
+        s2 AS (SELECT doc_id, t1, regexp_replace(t1, '{IPV6_RE}', '[REDACTED IP]', 'g') AS t2 FROM s1),
+        s3 AS (SELECT doc_id, t2, regexp_replace(t2, '{IPV4_RE}', '[REDACTED IP]', 'g') AS t3 FROM s2),
+        s4 AS (SELECT doc_id, t3, regexp_replace(t3, '{SSN_RE}', '[REDACTED SSN]', 'g') AS t4 FROM s3),
+        s5 AS (SELECT doc_id, t4, regexp_replace(t4, '{PHONE_RE}', '[REDACTED PHONE]', 'g') AS t5 FROM s4)
+        SELECT doc_id, ent_type, ent_text FROM (
+            SELECT doc_id, 'EMAIL' AS ent_type, unnest(regexp_extract_all(t0, '{EMAIL_RE}')) AS ent_text FROM s1
+            UNION ALL SELECT doc_id, 'IP', unnest(regexp_extract_all(t1, '{IPV6_RE}')) FROM s2
+            UNION ALL SELECT doc_id, 'IP', unnest(regexp_extract_all(t2, '{IPV4_RE}')) FROM s3
+            UNION ALL SELECT doc_id, 'SSN', unnest(regexp_extract_all(t3, '{SSN_RE}')) FROM s4
+            UNION ALL SELECT doc_id, 'PHONE', unnest(regexp_extract_all(t4, '{PHONE_RE}')) FROM s5
+            UNION ALL SELECT doc_id, 'PROFANITY', unnest(regexp_extract_all(t5, '{PROFANITY_RE}')) FROM s5
+        ) ORDER BY doc_id, ent_type, ent_text
     """
 
 
@@ -1627,19 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "ann_lsh": _COSINE_TOPK_SQL,
         "ann_ivf": _COSINE_TOPK_SQL,
-        "multimodal_decode_stub": f"""
-            WITH h AS (
-                SELECT doc_id, octet_length(encode(text)) AS nb,
-                       sha256(text) AS hx
-                FROM documents)
-            SELECT doc_id,
-                   CAST(nb AS INTEGER) AS n_bytes,
-                   substr(hx, 1, 16) AS sha256_prefix,
-                   CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS width,
-                   CAST(64 + {_hexbyte(3)} % 192 AS INTEGER) AS height,
-                   'stub' AS codec
-            FROM h ORDER BY doc_id
-        """,
+        "entities_extract": _entities_oracle_sql(),
         "multimodal_resize": f"""
             WITH h AS (
                 SELECT doc_id, sha256(text) AS hx

@@ -54,6 +54,15 @@ class PipelineConfig:
     # visually-identical dup turns are caught (functions/fused.py)
     normalize_unicode: bool = True
 
+    # Emit the explicit PII entity list column (entities array<struct<
+    # text,type,score,begin,end>>, SURVEY.md §1.2) — the reference's
+    # Comprehend entity JSON analog (redact.py:158-163), feeding review
+    # UIs / role-based masking. Off by default: the spans duplicate
+    # information already in scrubbed_text+scrub_counts and cost extra
+    # bytes through the shuffle and output; turn on when a downstream
+    # review workflow needs offsets (functions/entities.py).
+    emit_entities: bool = False
+
     # Keep the raw pre-scrub text column in the annotated output.
     # False mirrors the reference's retain_orig_docs=false (originals
     # deleted after redaction, reference backend/src/lambda/

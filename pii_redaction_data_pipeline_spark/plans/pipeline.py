@@ -169,6 +169,17 @@ def annotate(
         .drop("_ann")
     )
 
+    if cfg.emit_entities:
+        # optional second Python stage (still phase 1 / pre-shuffle, on
+        # the normalized text so offsets match what the scrubber saw);
+        # Catalyst collapses adjacent pandas UDFs into one ArrowEvalPython
+        # evaluation, so the text column still crosses the pipe once
+        from pii_redaction_data_pipeline_spark.functions.entities import (
+            make_entities_udf,
+        )
+
+        df = df.withColumn("entities", make_entities_udf()(F.col("text")))
+
     # --- conversation windows: phase 2, the unsalted conv_id shuffle ---
     # (explicit count again so AQE can't coalesce the five window sorts
     # onto a handful of cores). The dup-detection text hash is computed
@@ -251,6 +262,9 @@ def annotate(
         .withColumn("scrub_counts", F.when(F.col("keep"), F.col("_counts")))
         .drop("_scrubbed", "_counts", "is_duplicate_turn", "is_tool_loop")
     )
+    if cfg.emit_entities:
+        # same kept-rows-only policy as scrubbed_text/scrub_counts
+        df = df.withColumn("entities", F.when(F.col("keep"), F.col("entities")))
     return df
 
 
