@@ -60,14 +60,25 @@ class LineageStore:
     def append(self, df: DataFrame):
         df.write.mode("append").parquet(self.path)
 
-    def status(self, run_id: str | None = None) -> DataFrame:
-        """The reference's status/read API (GET ?fetch=all / ?fetch=<id>,
-        reference backend/src/lambda/get-workflows.py:27-99 + the UI's
+    def status(
+        self,
+        run_id: str | None = None,
+        start_seq: int | None = None,
+        end_seq: int | None = None,
+    ) -> DataFrame:
+        """The reference's status/read API (GET ?fetch=all&startdt&enddt /
+        ?fetch=<id>, reference backend/src/lambda/get-workflows.py:27-99:
+        PartiQL range scan :30 or point get :59-65, plus the UI's
         newest-first sort, useWorkflows.jsx:124) as a plain DataFrame
-        query: optional point filter, newest-first ordering."""
+        query: optional point filter, optional finished_seq range (the
+        startdt/enddt arm), newest-first ordering."""
         df = self.read()
         if run_id is not None:
             df = df.filter(F.col("run_id") == run_id)
+        if start_seq is not None:
+            df = df.filter(F.col("finished_seq") >= start_seq)
+        if end_seq is not None:
+            df = df.filter(F.col("finished_seq") <= end_seq)
         # partition_id is stored as string; order buckets numerically
         return df.orderBy(
             F.col("finished_seq").desc(), F.col("partition_id").cast("int")
