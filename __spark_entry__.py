@@ -1019,6 +1019,29 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.12).orderBy("id_a", "id_b")
 
 
+def q_dup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: MinHash-LSH pairs -> alternating
+    large-star/small-star connected components -> one representative
+    per cluster (operators/components.py; corpus-level lift of the
+    reference's processed-set collapse, redact.py:169-193). Oracle: a
+    DuckDB recursive CTE propagates min-reachable-id over the SAME edge
+    set (the exact-jaccard truth SQL, which the minhash_lsh query
+    already proves equal to the Spark pair list), so component ids and
+    representative flags must match exactly."""
+    from pii_redaction_data_pipeline_spark.operators.components import (
+        dedup_representatives,
+    )
+    from pii_redaction_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.12)
+    return (
+        dedup_representatives(docs, pairs)
+        .select("doc_id", "component_id", "is_rep")
+        .orderBy("doc_id")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """SimHash banded near-dup RECALL, oracle-checked: the true near-dup
     pairs (exact ngram-jaccard, SQL-expressible) inner-joined against
@@ -1234,7 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row: a1_status_rollup ⊂ a1_status_map, j2b_semi (J2's
     semi arm; anti arm stays), tpch_q5 (join family keeps q3/q10/
     join_3way), rollup_matrix ⊂ cube_matrix, quality_score folded into
-    quality_heuristics, fingerprint folded into token_count."""
+    quality_heuristics, fingerprint folded into token_count, simhash
+    (truth-containment check overlaps minhash_lsh, which stays; slot
+    reused for dup_components, the post-LSH clustering stage)."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -1279,7 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         # sketch / ANN family (oracle-checked against their exact paths)
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
+        "dup_components": q_dup_components,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # multimodal plumbing (deterministic stub codecs, oracle-checked)
@@ -1323,6 +1348,27 @@ _NGRAM_TRUTH_SQL = r"""
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.12
     ORDER BY id_a, id_b
+"""
+
+# Duplicate clusters over the same truth edges: a recursive CTE
+# propagates min-reachable-id (UNION dedups, so it converges), giving
+# the independent oracle for the Spark large-star/small-star algorithm.
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE
+    truth AS ({_NGRAM_TRUTH_SQL}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM truth
+              UNION ALL SELECT id_b, id_a FROM truth),
+    walk(id, reach) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, w.reach FROM walk w JOIN edges e ON e.s = w.id),
+    comp AS (SELECT id, min(reach) AS component_id FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+           (coalesce(c.component_id, d.doc_id) = d.doc_id) AS is_rep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    WHERE d.doc_id < 200
+    ORDER BY d.doc_id
 """
 
 # Exact brute-force cosine top-3 for probes vec_id < 5 — shared by
@@ -1701,7 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": _NGRAM_TRUTH_SQL,
         "minhash_lsh": _NGRAM_TRUTH_SQL,
-        "simhash": _NGRAM_TRUTH_SQL,
+        "dup_components": _COMPONENTS_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "ann_lsh": _COSINE_TOPK_SQL,
         "ann_ivf": _COSINE_TOPK_SQL,
@@ -1876,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
 # contract (see queries() docstring) — still value-checked locally by
 # tests/test_pruned_oracles.py so the operators cannot silently rot.
 PRUNED_QUERIES = {
+    "simhash": q_simhash,
     "a1_status_rollup": q_a1_status_rollup,
     "j2b_semi": q_j2b_semi,
     "tpch_q5": q_tpch_q5,
@@ -1885,7 +1932,8 @@ PRUNED_QUERIES = {
 }
 
 PRUNED_ORACLES = {
-                            "a1_status_rollup": """
+    "simhash": _NGRAM_TRUTH_SQL,
+    "a1_status_rollup": """
         SELECT o_orderstatus, count(*) AS n,
                round(avg(o_totalprice), 4) AS avg_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus

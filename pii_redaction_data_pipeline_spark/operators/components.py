@@ -1,0 +1,150 @@
+"""Connected-components duplicate clustering — the step AFTER pair
+generation in corpus-level dedup.
+
+MinHash-LSH / SimHash (operators/dedup.py) emit near-duplicate PAIRS;
+a curation pipeline must then group pairs into CLUSTERS and keep one
+representative per cluster (dropping a doc once per pair would drop
+both sides of every dup edge).  The reference's analog is the
+processed_boxes set that collapses repeated detections into one action
+(reference backend/src/lambda/redact.py:169-193) — here lifted to the
+corpus level as a graph problem.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed
+entirely in DataFrame ops:
+
+  large-star  every node points its LARGER neighbors at the minimum
+              of its neighborhood (including itself);
+  small-star  every node points its not-larger neighbors at that
+              minimum.
+
+Each round is a groupBy + join (two shuffles on the node id); the edge
+set converges to a star forest — each node linked directly to its
+component's minimum id — in O(log^2 n) rounds (observed: 2-4 rounds on
+dup graphs, whose clusters are near-cliques with tiny diameter).  This
+beats naive label propagation (O(diameter) rounds) on pathological
+chain graphs and never materializes a component in one task, so a
+100 TB edge set with a billion-node component still partitions evenly.
+
+Driver-side work per round is a single `count()` (the convergence
+check); `localCheckpoint` truncates the lineage so round k's plan does
+not replay rounds 1..k-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) symmetric edge set -> for each u, link every neighbor v>u
+    to m = min(N(u) ∪ {u})."""
+    m = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        edges.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge large->small, then link each node's not-larger
+    neighbors (and itself) to the minimum of that set."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        e.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", "m"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given as a pair list.
+
+    Returns (id, component_id) for every node that appears in `pairs`,
+    where component_id is the minimum node id in the component.
+    Isolated docs (no pair) are absent — callers left-join and coalesce
+    to the doc's own id (see `dedup_representatives`).
+
+    `max_iter` is a safety bound, not a tuning knob: the alternating
+    rounds converge in O(log^2 n); hitting the bound raises rather than
+    returning a half-contracted graph.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # symmetric closure once up front; the star steps keep it oriented
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        ls = _large_star(edges)
+        sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nxt = _small_star(sym).localCheckpoint(eager=True)
+        # converged when the star forest stops changing (small-star output
+        # is canonical u>v, so set equality is a cheap anti-join probe)
+        prev_canon = edges.filter(F.col("u") > F.col("v"))
+        if (
+            nxt.exceptAll(prev_canon).limit(1).count() == 0
+            and prev_canon.exceptAll(nxt).limit(1).count() == 0
+        ):
+            edges = nxt
+            break
+        edges = nxt.union(
+            nxt.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # star forest: (node -> root) plus the roots themselves
+    links = edges.filter(F.col("u") > F.col("v"))
+    roots = links.select(F.col("v").alias("u"), F.col("v"))
+    return (
+        links.union(roots)
+        .distinct()
+        .select(F.col("u").alias("id"), F.col("v").alias("component_id"))
+    )
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Annotate every doc with its duplicate-cluster id and a canonical
+    `is_rep` flag (representative = minimum doc id in the cluster;
+    isolated docs represent themselves).
+
+    The downstream corpus is `.filter("is_rep")` — exactly one survivor
+    per near-duplicate cluster.  The join against the (tiny relative to
+    the corpus) component map broadcasts when it fits; the docs table is
+    never shuffled.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = docs.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "component_id",
+        F.coalesce(F.col("component_id"), F.col(id_col).cast("long")),
+    )
+    return out.withColumn(
+        "is_rep", F.col("component_id") == F.col(id_col).cast("long")
+    )

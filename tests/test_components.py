@@ -1,0 +1,92 @@
+"""Connected-components clustering (operators/components.py) vs a
+brute-force union-find oracle, plus representative-selection semantics."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redaction_data_pipeline_spark.operators.components import (
+    connected_components,
+    dedup_representatives,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df).collect()
+    return {r["id"]: r["component_id"] for r in got}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2)],
+        [(1, 2), (2, 3), (3, 1)],            # triangle
+        [(i, i + 1) for i in range(1, 40)],  # long chain (worst diameter)
+        [(1, 2), (3, 4), (5, 6), (2, 3)],    # merge two clusters
+        [(10, 1), (10, 2), (10, 3), (20, 21), (22, 21)],
+    ],
+)
+def test_matches_union_find_fixed(spark, edges):
+    assert _spark_components(spark, edges) == _uf_components(edges)
+
+
+def test_matches_union_find_random(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _spark_components(spark, edges) == _uf_components(edges), trial
+
+
+def test_duplicate_and_reversed_pairs_are_harmless(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3)]
+    assert _spark_components(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_representatives_one_survivor_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    out = dedup_representatives(docs, pairs).collect()
+    comp = {r["doc_id"]: r["component_id"] for r in out}
+    assert comp == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4, 6: 6, 7: 7}
+    reps = sorted(r["doc_id"] for r in out if r["is_rep"])
+    assert reps == [0, 1, 4, 6, 7]
+    # exactly one representative per component
+    per_comp = {}
+    for r in out:
+        per_comp.setdefault(r["component_id"], 0)
+        per_comp[r["component_id"]] += r["is_rep"]
+    assert set(per_comp.values()) == {1}
+
+
+def test_nonconvergence_guard(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=0)
