@@ -268,6 +268,27 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py):
+    per-language keep rates via a sha256-prefix gate — pure Catalyst
+    expressions, partitioning-independent, and replayable row-for-row
+    in DuckDB from the spec alone (the oracle re-derives the keep set
+    independently). The mixing analog of the reference's batch-size
+    gate (machine-state.py:44-57) lifted to corpus curation."""
+    from pii_redaction_data_pipeline_spark.operators.sampling import (
+        sample_bucket_col,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.3}, ["doc_id"], seed=11, default_rate=0.1
+    )
+    return out.select(
+        "doc_id", "lang", sample_bucket_col(["doc_id"], 11).alias("bucket")
+    ).orderBy("doc_id")
+
+
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue per customer, top-20."""
     cust = _t(spark, sf_dir, "customer")
@@ -1259,7 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_3way), rollup_matrix ⊂ cube_matrix, quality_score folded into
     quality_heuristics, fingerprint folded into token_count, simhash
     (truth-containment check overlaps minhash_lsh, which stays; slot
-    reused for dup_components, the post-LSH clustering stage)."""
+    reused for dup_components, the post-LSH clustering stage),
+    tpch_q10 (join family keeps q1/q3/q6/join_3way; slot reused for
+    stratified_sample, the deterministic corpus-mixing gate)."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -1272,7 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
+        "stratified_sample": q_stratified_sample,
         "w1_first_per_group": q_w1_first_per_group,
         "w2_topn_orders": q_w2_topn_orders,
         "w3_running_sum": q_w3_running_sum,
@@ -1567,18 +1590,18 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount >= 0.03 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
-        "tpch_q10": """
-            SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            WHERE l_returnflag = 'R'
-              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-              AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
-            GROUP BY c_custkey, c_name, n_name
-            ORDER BY revenue DESC, c_custkey LIMIT 20
+        # deterministic stratified sampling: the DuckDB side re-derives
+        # the keep set from the spec alone (sha256 prefix gate), so any
+        # drift in the Spark gate's hashing/packing breaks the match
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   substr(sha256(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '11')), 1, 8) AS bucket
+            FROM documents
+            WHERE substr(sha256(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '11')), 1, 8)
+                  < CASE lang WHEN 'en' THEN 'gggggggg'
+                              WHEN 'de' THEN '4ccccccc'
+                              ELSE '19999999' END
+            ORDER BY doc_id
         """,
         "w1_first_per_group": """
             SELECT user_id, rn, event_id, event_type FROM (
@@ -1923,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
 # tests/test_pruned_oracles.py so the operators cannot silently rot.
 PRUNED_QUERIES = {
     "simhash": q_simhash,
+    "tpch_q10": q_tpch_q10,
     "a1_status_rollup": q_a1_status_rollup,
     "j2b_semi": q_j2b_semi,
     "tpch_q5": q_tpch_q5,
@@ -1933,6 +1957,19 @@ PRUNED_QUERIES = {
 
 PRUNED_ORACLES = {
     "simhash": _NGRAM_TRUTH_SQL,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
     "a1_status_rollup": """
         SELECT o_orderstatus, count(*) AS n,
                round(avg(o_totalprice), 4) AS avg_price
