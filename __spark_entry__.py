@@ -787,6 +787,30 @@ def q_scalar_funcs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pack_placement(spark, sf_dir):
+    """Sequence-packing placement (operators/packing.py): every doc's
+    bucket + absolute token span in the concat-and-chunk layout used to
+    build fixed-length training sequences. Pure Catalyst (sha256-digit
+    bucket, shared BPE-regex token count, window cumsum — one shuffle);
+    the oracle re-derives the identical layout in DuckDB, so the
+    placement math that the applyInPandas materializer consumes is
+    value-checked end-to-end."""
+    from pii_redaction_data_pipeline_spark.operators.packing import (
+        with_pack_placement,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_pack_placement(docs, seq_tokens=512, n_buckets=16)
+    return out.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("seq_start").cast("long").alias("seq_start"),
+        F.col("seq_end").cast("long").alias("seq_end"),
+    ).orderBy("doc_id")
+
+
 def q_date_funcs(spark, sf_dir):
     """§2.7 date family: truncation, extraction, day arithmetic."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
@@ -1282,7 +1306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (truth-containment check overlaps minhash_lsh, which stays; slot
     reused for dup_components, the post-LSH clustering stage),
     tpch_q10 (join family keeps q1/q3/q6/join_3way; slot reused for
-    stratified_sample, the deterministic corpus-mixing gate)."""
+    stratified_sample, the deterministic corpus-mixing gate),
+    date_funcs (scalar family keeps scalar_funcs/json_props; slot
+    reused for pack_placement, the sequence-packing layout)."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -1323,7 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_status_map": q_a1_status_map,
         "cube_matrix": q_cube_matrix,
         "scalar_funcs": q_scalar_funcs,
-        "date_funcs": q_date_funcs,
+        "pack_placement": q_pack_placement,
         "json_props": q_json_props,
         # sketch / ANN family (oracle-checked against their exact paths)
         "minhash_lsh": q_minhash_lsh,
@@ -1920,15 +1946,32 @@ def oracle_sql() -> dict[str, str]:
                        '+', ' ') AS decoded_key
             FROM documents WHERE doc_id < 500 ORDER BY doc_id
         """,
-        "date_funcs": """
-            SELECT event_id,
-                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
-                   strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
-                   CAST(extract(hour FROM ts) AS BIGINT) AS h,
-                   CAST(extract(dow FROM ts) + 1 AS BIGINT) AS dow1,
-                   date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
-                       AS days_to_feb
-            FROM events WHERE user_id < 40 ORDER BY event_id
+        # sequence-packing placement: bucket via the portable sha256
+        # digit hash, token counts via the shared BPE regex, offsets via
+        # a window cumsum — the whole concat-and-chunk layout re-derived
+        # independently in SQL
+        "pack_placement": r"""
+            WITH placed AS (
+                SELECT doc_id,
+                       ((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+                      + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+                      + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+                      + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)
+                       ) % 16 AS bucket,
+                       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+                FROM (SELECT doc_id, text, sha256(CAST(doc_id AS VARCHAR)) AS h
+                      FROM documents)),
+            cum AS (
+                SELECT doc_id, bucket, n_tokens,
+                       CAST(sum(n_tokens + 1) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+                FROM placed)
+            SELECT doc_id, bucket, n_tokens,
+                   cum_end - n_tokens - 1 AS tok_start,
+                   (cum_end - n_tokens - 1) // 512 AS seq_start,
+                   (cum_end - 1) // 512 AS seq_end
+            FROM cum ORDER BY doc_id
         """,
         "json_props": """
             SELECT event_id, event_type,
@@ -1947,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
 PRUNED_QUERIES = {
     "simhash": q_simhash,
     "tpch_q10": q_tpch_q10,
+    "date_funcs": q_date_funcs,
     "a1_status_rollup": q_a1_status_rollup,
     "j2b_semi": q_j2b_semi,
     "tpch_q5": q_tpch_q5,
@@ -1957,6 +2001,16 @@ PRUNED_QUERIES = {
 
 PRUNED_ORACLES = {
     "simhash": _NGRAM_TRUTH_SQL,
+    "date_funcs": """
+        SELECT event_id,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+               strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
+               CAST(extract(hour FROM ts) AS BIGINT) AS h,
+               CAST(extract(dow FROM ts) + 1 AS BIGINT) AS dow1,
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+                   AS days_to_feb
+        FROM events WHERE user_id < 40 ORDER BY event_id
+    """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1,0 +1,143 @@
+"""Corpus-level sequence packing: documents -> fixed-length training
+sequences (the concat-and-chunk step of every pretraining data
+pipeline).
+
+Per-document segmentation exists in functions/segment.py (the
+reference's segment.py greedy packer); THIS operator packs ACROSS
+documents: shuffle docs into deterministic buckets, concatenate each
+bucket's token stream (one EOS marker per doc), and chunk it into
+sequences of exactly `seq_tokens` tokens.
+
+The design splits the job into
+  placement   pure Catalyst: bucket assignment + a window cumsum over
+              (bucket, doc_id) gives every doc its absolute token
+              offset, hence its start/end sequence — ONE shuffle
+              (the window sort), no Python, and exactly replayable in
+              SQL (driver query `pack_placement`);
+  materialize applyInPandas per bucket emits the packed sequences;
+              each task holds one bucket's docs, so memory is bounded
+              by corpus_bytes / n_buckets — size n_buckets to taste,
+              1000 executors each take ~n_buckets/1000 groups.
+
+Bucketing uses the same sha256 trick as operators/sampling.py so the
+pseudo-shuffle is deterministic, partitioning-independent, and
+engine-portable (two-hex-digit -> int via ascii(), which DuckDB shares);
+`portable=False` swaps in xxhash64 for production runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_stats import BPE_TOKEN_RE, bpe_token_count
+
+EOS_TOKENS = 1  # one end-of-document marker appended per doc
+
+
+def _hex_digit(c: Column) -> Column:
+    """'0'-'9','a'-'f' -> 0..15 via ascii arithmetic (portable)."""
+    a = F.ascii(c)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def bucket_col(key: Column, n_buckets: int, portable: bool = True) -> Column:
+    """Deterministic pseudo-shuffle bucket in [0, n_buckets)."""
+    if portable:
+        h = F.sha2(key.cast("string"), 256)
+        val = _hex_digit(F.substring(h, 1, 1)) * 16 * 16 * 16 \
+            + _hex_digit(F.substring(h, 2, 1)) * 16 * 16 \
+            + _hex_digit(F.substring(h, 3, 1)) * 16 \
+            + _hex_digit(F.substring(h, 4, 1))
+        return F.pmod(val, F.lit(n_buckets))
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets))
+
+
+def with_pack_placement(
+    df: DataFrame,
+    seq_tokens: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = True,
+) -> DataFrame:
+    """Assign every doc its bucket and absolute token span.
+
+    Adds: bucket, n_tokens (BPE-ish pre-tokens), tok_start (offset of
+    the doc's first token in its bucket's concatenated stream, EOS
+    markers included), seq_start / seq_end (first/last sequence index
+    the doc touches; a doc larger than seq_tokens spans several).
+    """
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("bucket", bucket_col(F.col(id_col), n_buckets, portable))
+    out = out.withColumn("n_tokens", bpe_token_count(F.col(text_col)))
+    cum_end = F.sum(F.col("n_tokens") + EOS_TOKENS).over(w)
+    return (
+        out.withColumn("tok_start", (cum_end - F.col("n_tokens") - EOS_TOKENS))
+        .withColumn("seq_start", F.floor(F.col("tok_start") / seq_tokens))
+        .withColumn(
+            "seq_end",
+            F.floor((F.col("tok_start") + F.col("n_tokens") + EOS_TOKENS - 1) / seq_tokens),
+        )
+    )
+
+
+_TOKEN_RE = re.compile(BPE_TOKEN_RE)
+EOS_MARK = "<|eod|>"
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = True,
+    drop_last_partial: bool = False,
+) -> DataFrame:
+    """Materialize the packed sequences: (bucket, seq_idx, n_tokens,
+    tokens array<string>, doc_ids array<long>).
+
+    Every sequence except possibly a bucket's last has exactly
+    `seq_tokens` tokens; concatenating a bucket's sequences reproduces
+    its doc token streams in (bucket, doc_id) order with one EOS_MARK
+    after each doc. Token identity (regex pre-tokens + EOS) matches the
+    placement math token-for-token — pinned by tests.
+    """
+    placed = with_pack_placement(
+        df, seq_tokens, n_buckets, id_col, text_col, portable
+    ).select("bucket", id_col, text_col)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        toks: list[str] = []
+        owners: list[int] = []
+        for did, text in zip(pdf[id_col], pdf[text_col]):
+            t = _TOKEN_RE.findall(text or "")
+            t.append(EOS_MARK)
+            toks.extend(t)
+            owners.extend([did] * len(t))
+        rows = []
+        bucket = int(pdf["bucket"].iloc[0])
+        for s in range(0, len(toks), seq_tokens):
+            chunk = toks[s : s + seq_tokens]
+            if drop_last_partial and len(chunk) < seq_tokens:
+                break
+            own = sorted(set(owners[s : s + len(chunk)]))
+            rows.append((bucket, s // seq_tokens, len(chunk), chunk, own))
+        return pd.DataFrame(
+            rows, columns=["bucket", "seq_idx", "n_tokens", "tokens", "doc_ids"]
+        )
+
+    schema = (
+        "bucket int, seq_idx long, n_tokens int, "
+        "tokens array<string>, doc_ids array<long>"
+    )
+    return placed.groupBy("bucket").applyInPandas(pack, schema)

@@ -36,7 +36,7 @@ def _canon(df):
 @pytest.mark.parametrize(
     "name",
     ["a1_status_rollup", "j2b_semi", "tpch_q5", "rollup_matrix",
-     "quality_score", "fingerprint", "simhash", "tpch_q10"],
+     "quality_score", "fingerprint", "simhash", "tpch_q10", "date_funcs"],
 )
 def test_pruned_query_matches_oracle(name, spark, ducks):
     import __spark_entry__ as E
