@@ -90,3 +90,37 @@ def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=0)
+
+
+def test_semantic_dedup_composition(spark):
+    """SemDeDup-shape pipeline: embedding cosine pairs -> components ->
+    one representative per semantic cluster. Edge source is the
+    oracle-checked embed_neardup path; at scale the pair stage swaps to
+    LSH/IVF buckets with identical downstream semantics."""
+    from pyspark.sql import functions as F
+
+    from pii_redaction_data_pipeline_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_similarity_col(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    out = dedup_representatives(docs, pairs).collect()
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    want = _uf_components(edges)
+    for r in out:
+        assert r["component_id"] == want.get(r["doc_id"], r["doc_id"])
+        assert r["is_rep"] == (r["component_id"] == r["doc_id"])
+    kept = [r for r in out if r["is_rep"]]
+    assert 0 < len(kept) <= len(out)
