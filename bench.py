@@ -42,6 +42,9 @@ HEADLINE = [
     "cosine_topk",
     "ngram_jaccard",
     "minhash_lsh",
+    "stratified_sample",
+    "pack_placement",
+    "dup_components",
     "pipeline_documents",
 ]
 

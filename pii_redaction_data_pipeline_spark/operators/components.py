@@ -67,11 +67,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(spark, edge_rows):
+    """Union-find on a collected edge list — the small-graph fast path."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "id long, component_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Components of the undirected graph given as a pair list.
 
@@ -80,9 +100,17 @@ def connected_components(
     Isolated docs (no pair) are absent — callers left-join and coalesce
     to the doc's own id (see `dedup_representatives`).
 
-    `max_iter` is a safety bound, not a tuning knob: the alternating
-    rounds converge in O(log^2 n); hitting the bound raises rather than
-    returning a half-contracted graph.
+    Adaptive strategy, same shape as Catalyst's broadcast-join choice:
+    an edge set at or below `small_graph_threshold` (≤ ~16 MB collected
+    — near-dup pair lists are tiny relative to their corpus) is solved
+    driver-side with union-find in one collect; larger graphs run the
+    distributed alternating-star rounds. Both paths produce identical
+    labels (pinned by tests). Pass small_graph_threshold=0 to force the
+    distributed path.
+
+    `max_iter` bounds the distributed rounds; the alternation converges
+    in O(log^2 n), and hitting the bound raises rather than returning a
+    half-contracted graph.
     """
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -91,19 +119,37 @@ def connected_components(
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.distinct().localCheckpoint(eager=True)
 
+    if small_graph_threshold > 0:
+        # the checkpoint above already materialized the edge set, so
+        # this count is metadata-cheap; the collect is bounded by the
+        # threshold check
+        if edges.count() <= 2 * small_graph_threshold:
+            return _driver_components(
+                edges.sparkSession, edges.filter(F.col("u") < F.col("v")).collect()
+            )
+
+    prev_sig = None
     for _ in range(max_iter):
         ls = _large_star(edges)
         sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
         nxt = _small_star(sym).localCheckpoint(eager=True)
-        # converged when the star forest stops changing (small-star output
-        # is canonical u>v, so set equality is a cheap anti-join probe)
-        prev_canon = edges.filter(F.col("u") > F.col("v"))
-        if (
-            nxt.exceptAll(prev_canon).limit(1).count() == 0
-            and prev_canon.exceptAll(nxt).limit(1).count() == 0
-        ):
+        # converged when the (canonical u>v) star forest stops changing.
+        # One partial-agg job computes an order-free set signature —
+        # count + bit_xor of a 64-bit row hash (xor: commutative,
+        # overflow-free under ANSI mode, exact on the distinct edge
+        # set); the rounds contract monotonically toward the fixed
+        # point, so signature equality across consecutive rounds means
+        # set equality short of a 2^-64 xor collision. (Replaces two
+        # exceptAll anti-join probes — half the jobs per round.)
+        sig = tuple(
+            nxt.agg(
+                F.count("*"), F.expr("bit_xor(xxhash64(u, v))")
+            ).first()
+        )
+        if sig == prev_sig:
             edges = nxt
             break
+        prev_sig = sig
         edges = nxt.union(
             nxt.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).localCheckpoint(eager=True)

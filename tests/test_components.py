@@ -29,12 +29,16 @@ def _uf_components(edges):
     return {n: find(n) for n in parent}
 
 
-def _spark_components(spark, edges):
+def _spark_components(spark, edges, threshold=1_000_000):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = connected_components(df).collect()
+    got = connected_components(df, small_graph_threshold=threshold).collect()
     return {r["id"]: r["component_id"] for r in got}
 
 
+# threshold=0 forces the distributed alternating-star path; the default
+# takes the driver-side union-find fast path — both must agree with the
+# brute-force oracle on every graph shape.
+@pytest.mark.parametrize("threshold", [0, 1_000_000])
 @pytest.mark.parametrize(
     "edges",
     [
@@ -45,11 +49,12 @@ def _spark_components(spark, edges):
         [(10, 1), (10, 2), (10, 3), (20, 21), (22, 21)],
     ],
 )
-def test_matches_union_find_fixed(spark, edges):
-    assert _spark_components(spark, edges) == _uf_components(edges)
+def test_matches_union_find_fixed(spark, edges, threshold):
+    assert _spark_components(spark, edges, threshold) == _uf_components(edges)
 
 
-def test_matches_union_find_random(spark):
+@pytest.mark.parametrize("threshold", [0, 1_000_000])
+def test_matches_union_find_random(spark, threshold):
     rng = random.Random(7)
     for trial in range(3):
         n = 60
@@ -58,12 +63,13 @@ def test_matches_union_find_random(spark):
             for _ in range(40)
         ]
         edges = [(a, b) for a, b in edges if a != b]
-        assert _spark_components(spark, edges) == _uf_components(edges), trial
+        assert _spark_components(spark, edges, threshold) == _uf_components(edges), trial
 
 
-def test_duplicate_and_reversed_pairs_are_harmless(spark):
+@pytest.mark.parametrize("threshold", [0, 1_000_000])
+def test_duplicate_and_reversed_pairs_are_harmless(spark, threshold):
     edges = [(1, 2), (2, 1), (1, 2), (2, 3)]
-    assert _spark_components(spark, edges) == {1: 1, 2: 1, 3: 1}
+    assert _spark_components(spark, edges, threshold) == {1: 1, 2: 1, 3: 1}
 
 
 def test_representatives_one_survivor_per_cluster(spark):
@@ -89,7 +95,7 @@ def test_representatives_one_survivor_per_cluster(spark):
 def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=0)
+        connected_components(df, max_iter=0, small_graph_threshold=0)
 
 
 def test_semantic_dedup_composition(spark):
