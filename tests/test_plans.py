@@ -216,3 +216,37 @@ def test_ann_and_topk_broadcast_probe_side(spark):
     for name in ("ann_lsh", "ann_ivf"):
         assert "BroadcastHashJoin" in plans[name], name
         assert "SortMergeJoin" not in plans[name], name
+
+
+def test_sampling_gate_is_shuffle_free_and_pruned(spark):
+    """The stratified-sample gate is a scan-side predicate: no Exchange
+    anywhere (a sampler that shuffles would move 100 TB to drop 90% of
+    it), and the scan reads only the projected columns."""
+    from pii_redaction_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    gated = stratified_sample(docs, "lang", {"en": 1.0, "de": 0.3}, ["doc_id"])
+    plan = plan_of(gated)
+    assert "Exchange" not in plan, plan[:800]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "lang"}, cols
+    # the driver query only adds its deterministic orderBy on top
+    qplan = plan_of(E.queries()["stratified_sample"](spark, SF))
+    assert len(re.findall(r"\bExchange \w*partitioning", qplan)) == 1, qplan[:800]
+
+
+def test_pack_placement_single_exchange(spark):
+    """Placement = bucket hash + window cumsum: exactly ONE shuffle (the
+    window's hashpartitioning on bucket). A second Exchange would mean
+    the cumsum re-partitioned what the bucket hash already placed."""
+    from pii_redaction_data_pipeline_spark.operators.packing import (
+        with_pack_placement,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(with_pack_placement(docs, 512, 16))
+    n_exchange = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchange == 1, plan[:1200]
