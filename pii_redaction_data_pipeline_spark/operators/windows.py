@@ -82,3 +82,39 @@ def with_conversation_flags(
         ).otherwise(F.lit(False)),
     )
     return df.drop("_text_hash", "_rn", "_run_grp")
+
+
+def conversation_verdict(
+    annotated: DataFrame,
+    min_kept_frac: float = 0.5,
+    min_kept_turns: int = 1,
+) -> DataFrame:
+    """Conversation-level keep/drop above the per-turn verdicts: a
+    conversation whose surviving turns are too few or too sparse is
+    junk as a whole (a transcript that is 90% tool-loop noise teaches
+    nothing even if 3 turns individually pass).
+
+    The reference's analog is the workflow-level status rollup over
+    per-document outcomes (get-workflows.py:67-92 aggregates doc
+    statuses into one workflow verdict); here it is one partial-agg
+    groupBy on conv_id — map-side combined, no window, no second pass
+    over text.
+
+    Returns (conv_id, n_turns, n_kept, kept_frac, conv_keep);
+    downstream joins it back (broadcast when small) or semi-joins the
+    kept conv_ids.
+    """
+    agg = annotated.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+    )
+    kept_frac = F.col("n_kept") / F.col("n_turns")
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_kept",
+        F.round(kept_frac, 6).alias("kept_frac"),
+        (
+            (kept_frac >= min_kept_frac) & (F.col("n_kept") >= min_kept_turns)
+        ).alias("conv_keep"),
+    )

@@ -129,3 +129,23 @@ def test_null_text_turn_is_dropped(spark):
     assert out[0]["keep"] is False and "too_short" in out[0]["drop_reasons"]
     assert out[1]["keep"] is True
     assert out[2]["keep"] is False and "too_short" in out[2]["drop_reasons"]
+
+
+def test_conversation_verdict(spark):
+    from pii_redaction_data_pipeline_spark.operators.windows import (
+        conversation_verdict,
+    )
+
+    rows = [
+        ("a", 1, True), ("a", 2, True), ("a", 3, False),   # 2/3 kept
+        ("b", 1, False), ("b", 2, False), ("b", 3, True),  # 1/3 kept
+        ("c", 1, False), ("c", 2, False),                  # 0 kept
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, keep boolean")
+    out = {r["conv_id"]: r for r in conversation_verdict(df, 0.5, 1).collect()}
+    assert out["a"]["conv_keep"] is True and out["a"]["n_kept"] == 2
+    assert out["b"]["conv_keep"] is False and abs(out["b"]["kept_frac"] - 1 / 3) < 1e-6
+    assert out["c"]["conv_keep"] is False and out["c"]["n_kept"] == 0
+    # min_kept_turns dominates the fraction gate
+    strict = {r["conv_id"]: r for r in conversation_verdict(df, 0.0, 3).collect()}
+    assert [strict[c]["conv_keep"] for c in "abc"] == [False, False, False]
