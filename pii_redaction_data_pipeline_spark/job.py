@@ -56,6 +56,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "retain_orig_docs=false); halves shuffle/output bytes",
     )
     p.add_argument(
+        "--curated-output",
+        default=None,
+        help="also write the curated training slice here: kept turns of "
+        "conversations passing the conv-level rollup, projected for "
+        "--curated-role (plans/views.py)",
+    )
+    p.add_argument(
+        "--curated-role",
+        default="consumer",
+        choices=("admin", "reviewer", "consumer"),
+        help="audience projection for --curated-output",
+    )
+    p.add_argument(
+        "--conv-min-kept-frac",
+        type=float,
+        default=0.5,
+        help="conversation-level gate: drop whole conversations whose "
+        "kept-turn fraction is below this (operators/windows.py "
+        "conversation_verdict)",
+    )
+    p.add_argument(
         "--no-normalize-unicode",
         action="store_true",
         help="disable the D1 NFKC/zero-width normalization stage "
@@ -100,13 +121,10 @@ def main(argv: list[str] | None = None) -> dict:
         run_id=args.run_id,
         cfg=build_config(args),
     )
-    if args.report:
+    if args.report or args.curated_output:
         from pyspark.sql import functions as F
 
         from pii_redaction_data_pipeline_spark.sources.lineage import LineageStore
-        from pii_redaction_data_pipeline_spark.sources.report import (
-            write_quality_report,
-        )
         from pii_redaction_data_pipeline_spark.sources.tables import BUCKET_COL
 
         # rows are stamped with their run_id (plans/pipeline.py), so the
@@ -122,8 +140,33 @@ def main(argv: list[str] | None = None) -> dict:
         out_df = out_df.filter(
             F.col(BUCKET_COL).isin(buckets) & (F.col("run_id") == args.run_id)
         )
+    if args.report:
+        from pii_redaction_data_pipeline_spark.sources.report import (
+            write_quality_report,
+        )
+
         write_quality_report(out_df, args.report)
         summary["report"] = args.report
+    if args.curated_output:
+        from pii_redaction_data_pipeline_spark.operators.windows import (
+            conversation_verdict,
+        )
+        from pii_redaction_data_pipeline_spark.plans.views import review_view
+
+        # conv-level rollup gate, then the audience projection; the
+        # verdict frame is tiny (one row per conversation) so the
+        # semi-join broadcasts
+        kept_convs = conversation_verdict(
+            out_df, min_kept_frac=args.conv_min_kept_frac
+        ).filter("conv_keep")
+        curated = review_view(out_df, args.curated_role).join(
+            F.broadcast(kept_convs.select("conv_id")), "conv_id", "semi"
+        )
+        if args.curated_role != "consumer":  # consumer view already keeps-only
+            curated = curated.filter("keep")
+        curated.write.mode("overwrite").parquet(args.curated_output)
+        summary["curated_output"] = args.curated_output
+        summary["curated_role"] = args.curated_role
     print(json.dumps(summary))
     return summary
 

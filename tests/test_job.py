@@ -184,3 +184,37 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path, tiny):
     ).fetchone()
     assert n == summary["totals"]["rows_in"] > 0
     assert 0 < n_kept < n  # the verdict actually discriminates
+
+
+def test_job_curated_output(tmp_path, spark):
+    """--curated-output writes the conversation-rolled-up consumer
+    slice: only kept turns, only conversations above the kept-frac
+    gate, no raw-PII carriers."""
+    from pii_redaction_data_pipeline_spark.datagen import write_parquet
+
+    d = str(tmp_path)
+    tp, _ = write_parquet("tiny", d)
+    out, lin, cur = f"{d}/ann", f"{d}/lin", f"{d}/curated"
+    summary = job.main(
+        ["--input", tp, "--output", out, "--lineage", lin, "--run-id", "c1",
+         "--curated-output", cur, "--conv-min-kept-frac", "0.5"]
+    )
+    assert summary["curated_output"] == cur
+    curated = spark.read.parquet(cur)
+    assert "text" not in curated.columns  # consumer projection
+    rows = curated.select("conv_id", "keep").collect()
+    assert rows and all(r["keep"] for r in rows)
+    # every surviving conversation satisfies the rollup on the full run
+    from pii_redaction_data_pipeline_spark.operators.windows import (
+        conversation_verdict,
+    )
+
+    full = spark.read.parquet(out)
+    verdicts = {
+        r["conv_id"]: r["conv_keep"]
+        for r in conversation_verdict(full, 0.5).collect()
+    }
+    for r in rows:
+        assert verdicts[r["conv_id"]] is True
+    # at least one conversation was dropped whole by the gate
+    assert set(verdicts) - {r["conv_id"] for r in rows}
