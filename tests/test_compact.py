@@ -1,0 +1,66 @@
+"""Small-file compaction (sources/compact.py): file-count reduction,
+row preservation, partition-layout preservation, crash hygiene."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redaction_data_pipeline_spark.sources.compact import (
+    compact_parquet,
+    dir_stats,
+    plan_compaction,
+)
+
+
+def _write_fragmented(spark, path, n_files=40, rows=4000):
+    spark.range(rows).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    ).repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def test_plan_and_compact_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _write_fragmented(spark, p)
+    before = dir_stats(spark, p)
+    assert before["n_files"] == 40
+    plan = plan_compaction(spark, p, target_bytes=max(1, before["total_bytes"]))
+    assert plan["target_files"] == 1 and plan["worth_it"]
+
+    rows_before = sorted(
+        (r["id"], r["payload"]) for r in spark.read.parquet(p).collect()
+    )
+    out = compact_parquet(spark, p, target_bytes=before["total_bytes"])
+    assert out["n_files_before"] == 40 and out["n_files_after"] == 1
+    assert out["rows"] == 4000
+    rows_after = sorted(
+        (r["id"], r["payload"]) for r in spark.read.parquet(p).collect()
+    )
+    assert rows_after == rows_before
+    # no staging/old dirs left behind
+    assert not os.path.exists(p + "__compact_staging")
+    assert not os.path.exists(p + "__compact_old")
+
+
+def test_partition_preserving_compaction(spark, tmp_path):
+    p = str(tmp_path / "b")
+    spark.range(2000).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    ).repartition(20).write.mode("overwrite").partitionBy("bucket").parquet(p)
+    compact_parquet(spark, p, target_bytes=1 << 30, partition_cols=["bucket"])
+    # layout survives: partition dirs still present, pruning still works
+    subdirs = {d for d in os.listdir(p) if d.startswith("bucket=")}
+    assert subdirs == {f"bucket={i}" for i in range(4)}
+    pruned = spark.read.parquet(p).filter("bucket = 2")
+    assert pruned.count() == 500
+
+
+def test_crashed_staging_dir_is_cleaned(spark, tmp_path):
+    p = str(tmp_path / "c")
+    _write_fragmented(spark, p, n_files=5, rows=100)
+    stale = p + "__compact_staging"
+    os.makedirs(stale)
+    open(os.path.join(stale, "junk"), "w").write("x")
+    out = compact_parquet(spark, p, target_bytes=1 << 30)
+    assert out["rows"] == 100 and out["n_files_after"] == 1
+    assert not os.path.exists(stale)
