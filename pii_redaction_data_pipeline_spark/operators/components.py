@@ -67,8 +67,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _driver_components(spark, edge_rows):
-    """Union-find on a collected edge list — the small-graph fast path."""
+def _driver_components(spark, edges_pdf):
+    """Union-find on a collected edge frame — the small-graph fast path.
+
+    Takes a two-column pandas frame (u, v) from toPandas(): Arrow ships
+    the edges as two int64 arrays (~16 B/edge) instead of per-edge
+    Python Row objects (~100+ B each at the 1M-edge threshold)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -78,8 +82,8 @@ def _driver_components(spark, edge_rows):
             x = parent[x]
         return x
 
-    for r in edge_rows:
-        ra, rb = find(r[0]), find(r[1])
+    for a, b in zip(edges_pdf["u"].to_numpy(), edges_pdf["v"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
@@ -125,7 +129,8 @@ def connected_components(
         # threshold check
         if edges.count() <= 2 * small_graph_threshold:
             return _driver_components(
-                edges.sparkSession, edges.filter(F.col("u") < F.col("v")).collect()
+                edges.sparkSession,
+                edges.filter(F.col("u") < F.col("v")).toPandas(),
             )
 
     prev_sig = None

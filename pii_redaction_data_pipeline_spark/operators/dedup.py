@@ -288,7 +288,20 @@ def ngram_jaccard_pairs(
     document frequency > df_cap are dropped from PAIR GENERATION only
     (set sizes keep every shingle, so jaccard for surviving pairs is a
     lower bound that converges to exact when no shared shingle is hot).
-    This operator remains the small-scale ground truth; the sketches
+
+    LOSS MODE, stated precisely: a pair whose shared shingles are ALL
+    hotter than df_cap generates no join row and VANISHES from the
+    output — not merely an underestimated score. Such a pair's true
+    jaccard is bounded by n_hot_shared / min_set_size, so with a sane
+    df_cap it sits far below any dedup threshold (two docs overlapping
+    only on corpus-wide boilerplate are not near-duplicates), but the
+    pair-list contract is lossy, not just conservative. Callers who
+    need the drop accounting can count the capped shingles:
+    `sh.groupBy("g").count().filter(F.col("count") > df_cap).count()`.
+    Pass df_cap=None for the exact (quadratic-risk) truth set; the
+    fixture-scale oracle keeps the default cap, which is inert there
+    (no shingle reaches df 10k in a 200-doc corpus). This operator
+    remains the small-scale ground truth; the sketches
     (minhash/simhash) are the 100 TB path."""
     words = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
     n = F.size(words)

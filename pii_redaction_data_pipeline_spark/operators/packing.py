@@ -45,7 +45,15 @@ def _hex_digit(c: Column) -> Column:
 
 
 def bucket_col(key: Column, n_buckets: int, portable: bool = True) -> Column:
-    """Deterministic pseudo-shuffle bucket in [0, n_buckets)."""
+    """Deterministic pseudo-shuffle bucket in [0, n_buckets).
+
+    The portable hash consumes 4 hex digits (16 bits), so n_buckets must
+    be <= 65536 (larger values would leave buckets permanently empty);
+    an n_buckets that does not divide 65536 biases bucket sizes by at
+    most 1/(65536/n_buckets) — negligible at the <=4096 bucket counts a
+    real packing run uses, and zero for powers of two."""
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
     if portable:
         h = F.sha2(key.cast("string"), 256)
         val = _hex_digit(F.substring(h, 1, 1)) * 16 * 16 * 16 \
@@ -79,12 +87,14 @@ def with_pack_placement(
     out = df.withColumn("bucket", bucket_col(F.col(id_col), n_buckets, portable))
     out = out.withColumn("n_tokens", bpe_token_count(F.col(text_col)))
     cum_end = F.sum(F.col("n_tokens") + EOS_TOKENS).over(w)
+    # integer DIV, not floor(float/): float64 division loses exactness
+    # above 2^53 token offsets, and the SQL replay uses // throughout
     return (
         out.withColumn("tok_start", (cum_end - F.col("n_tokens") - EOS_TOKENS))
-        .withColumn("seq_start", F.floor(F.col("tok_start") / seq_tokens))
+        .withColumn("seq_start", F.expr(f"tok_start div {int(seq_tokens)}"))
         .withColumn(
             "seq_end",
-            F.floor((F.col("tok_start") + F.col("n_tokens") + EOS_TOKENS - 1) / seq_tokens),
+            F.expr(f"(tok_start + n_tokens + {EOS_TOKENS} - 1) div {int(seq_tokens)}"),
         )
     )
 

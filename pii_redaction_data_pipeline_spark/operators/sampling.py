@@ -65,6 +65,8 @@ def xxhash_gate(
     df: DataFrame, rate: float, key_cols: Sequence[str], seed: int = 0
 ) -> DataFrame:
     """Non-portable fast path: xxhash64 bucket in [0, 2^32)."""
+    if not 0.0 <= rate <= 1.0:  # mirror rate_threshold's validation
+        raise ValueError(f"rate must be in [0,1], got {rate}")
     bucket = F.pmod(F.xxhash64(*key_cols, F.lit(seed)), F.lit(2 ** 32))
     return df.filter(bucket < F.lit(int(rate * 2 ** 32)))
 
@@ -102,6 +104,8 @@ def mix_corpora(
     not a shuffle. Returns the blended frame with a `mix_source` tag.
     """
     total_w = sum(w for _, w in sources.values())
+    if total_w <= 0:
+        raise ValueError(f"sum of mix weights must be > 0, got {total_w}")
     out = None
     for name, (df, w) in sorted(sources.items()):
         quota = budget_rows * w / total_w

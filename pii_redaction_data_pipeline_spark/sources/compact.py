@@ -11,10 +11,16 @@ same rows, better layout.
 
 Mechanics: size the target file count from the actual on-disk bytes
 (ceil(total / target_bytes)), rewrite with `repartition(n)` (round-robin
-— even output sizes, no key skew), write to a staging dir, then swap
-via two FileSystem renames. The swap is atomic on HDFS/local rename
-semantics; on S3-style object stores prefer the Iceberg path
-(`TableIO` + rewrite_data_files) where the commit is a metadata swap —
+— even output sizes, no key skew; with `partition_cols` the repartition
+keys on the partition columns instead, so each partition directory
+compacts to few files rather than every task spraying a file into every
+directory), write to a staging dir, then swap via two FileSystem
+renames. Each rename is atomic on HDFS/local rename semantics, but the
+WINDOW BETWEEN THE TWO is not: a reader that lists the live path in
+that instant sees no directory. Preconditions (enforced/documented):
+no concurrent readers or writers of `path` during the swap — this is a
+maintenance operation, the online path is Iceberg
+(`TableIO` + rewrite_data_files) where the commit is a metadata swap;
 this module is the Parquet-fallback analog, mirroring the
 Iceberg-or-Parquet split used everywhere else in sources/tables.py.
 
@@ -76,20 +82,43 @@ def compact_parquet(
     a failed rewrite leaves the original untouched (staging dir is
     cleaned up).
     """
+    staging = path.rstrip("/") + "__compact_staging"
+    jvm, fs, hpath = _fs(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    # leftovers from a crashed compaction — handled BEFORE planning, so
+    # a recovered dir is what gets measured: staging is always safe to
+    # drop; a stranded __compact_old means a prior crash happened AFTER
+    # its data dir was renamed away — if the live path is gone too,
+    # restore it (crash fell in the swap window), else the prior swap
+    # completed and the old copy is just unreclaimed garbage
+    if fs.exists(spath):
+        fs.delete(spath, True)
+    if fs.exists(old):
+        if not fs.exists(hpath):
+            if not fs.rename(old, hpath):
+                raise RuntimeError(f"could not restore {path} from {old}")
+        else:
+            fs.delete(old, True)
+
     plan = plan_compaction(spark, path, target_bytes)
     df = spark.read.parquet(path)
     rows_before = df.count()
-    staging = path.rstrip("/") + "__compact_staging"
-
-    jvm, fs, hpath = _fs(spark, path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(spath):  # leftover from a crashed compaction
-        fs.delete(spath, True)
 
     try:
-        writer = df.repartition(plan["target_files"]).write.mode("overwrite")
         if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
+            # key the rewrite on the partition columns so a task holds
+            # rows of one partition value: partitionBy then emits one
+            # file per partition directory (bounded by the bucket layout
+            # sizing), not the round-robin target_files x n_partitions
+            # spray a plain repartition(n) would produce
+            writer = (
+                df.repartition(plan["target_files"], *partition_cols)
+                .write.mode("overwrite")
+                .partitionBy(*partition_cols)
+            )
+        else:
+            writer = df.repartition(plan["target_files"]).write.mode("overwrite")
         writer.parquet(staging)
         rows_after = spark.read.parquet(staging).count()
         if rows_after != rows_before:
@@ -101,9 +130,14 @@ def compact_parquet(
         fs.delete(spath, True)
         raise
 
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
-    fs.rename(hpath, old)
-    fs.rename(spath, hpath)
+    # the swap: Hadoop rename() reports failure by returning false, not
+    # raising — check both, and recover the live dir if the second fails
+    if not fs.rename(hpath, old):
+        fs.delete(spath, True)
+        raise RuntimeError(f"rename {path} -> {old} failed; original untouched")
+    if not fs.rename(spath, hpath):
+        fs.rename(old, hpath)  # best-effort restore of the original
+        raise RuntimeError(f"rename {staging} -> {path} failed; original restored")
     fs.delete(old, True)
     after = dir_stats(spark, path)
     return {

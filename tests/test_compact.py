@@ -47,12 +47,50 @@ def test_partition_preserving_compaction(spark, tmp_path):
     spark.range(2000).select(
         F.col("id"), (F.col("id") % 4).alias("bucket")
     ).repartition(20).write.mode("overwrite").partitionBy("bucket").parquet(p)
+    # 20 round-robin input files x 4 partition values = 80 part-files
+    assert dir_stats(spark, p)["n_files"] == 80
     compact_parquet(spark, p, target_bytes=1 << 30, partition_cols=["bucket"])
     # layout survives: partition dirs still present, pruning still works
     subdirs = {d for d in os.listdir(p) if d.startswith("bucket=")}
     assert subdirs == {f"bucket={i}" for i in range(4)}
     pruned = spark.read.parquet(p).filter("bucket = 2")
     assert pruned.count() == 500
+    # the rewrite keys on the partition column: ONE file per partition
+    # directory, not target_files x n_partitions (round-2 advice)
+    for d in subdirs:
+        files = [f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_stale_compact_old_is_recovered(spark, tmp_path):
+    """A stranded __compact_old from a crash inside the swap window
+    (live dir renamed away, staging not yet renamed in) is restored on
+    the next compaction entry instead of corrupting the table."""
+    p = str(tmp_path / "d")
+    _write_fragmented(spark, p, n_files=5, rows=100)
+    import shutil
+
+    # simulate the mid-swap crash: live dir moved to __compact_old
+    shutil.move(p, p + "__compact_old")
+    assert not os.path.exists(p)
+    out = compact_parquet(spark, p, target_bytes=1 << 30)
+    assert out["rows"] == 100 and out["n_files_after"] == 1
+    assert not os.path.exists(p + "__compact_old")
+    assert spark.read.parquet(p).count() == 100
+
+
+def test_stale_compact_old_after_completed_swap_is_reclaimed(spark, tmp_path):
+    """A stranded __compact_old while the live path EXISTS means the
+    prior swap completed; it is garbage and must be deleted, never
+    renamed into the live dir."""
+    p = str(tmp_path / "e")
+    _write_fragmented(spark, p, n_files=5, rows=100)
+    os.makedirs(p + "__compact_old")
+    open(p + "__compact_old/junk", "w").write("x")
+    out = compact_parquet(spark, p, target_bytes=1 << 30)
+    assert out["rows"] == 100
+    assert not os.path.exists(p + "__compact_old")
+    assert spark.read.parquet(p).count() == 100
 
 
 def test_crashed_staging_dir_is_cleaned(spark, tmp_path):

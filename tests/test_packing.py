@@ -109,3 +109,19 @@ def test_portable_bucket_duckdb_replay(spark, docs):
         """).fetchall()
     }
     assert {r["doc_id"]: r["b"] for r in got} == dd
+
+
+def test_bucket_count_validation(spark):
+    """Round-2 advice: the 16-bit portable bucket hash cannot address
+    more than 65536 buckets; reject instead of leaving them empty."""
+    import pytest
+
+    from pii_redaction_data_pipeline_spark.operators.packing import (
+        with_pack_placement,
+    )
+
+    df = spark.range(10).selectExpr("id as doc_id", "'x y z' as text")
+    with pytest.raises(ValueError):
+        with_pack_placement(df, 8, n_buckets=65537).collect()
+    with pytest.raises(ValueError):
+        with_pack_placement(df, 8, n_buckets=0).collect()

@@ -114,3 +114,15 @@ def test_mix_corpora_quotas(spark, docs):
     )
     n_tiny = out2.filter(F.col("mix_source") == "tiny").count()
     assert n_tiny == 10
+
+
+def test_bad_spec_validation(docs):
+    """Round-2 advice: xxhash_gate validates rate like rate_threshold,
+    and mix_corpora rejects an all-zero weight spec instead of
+    ZeroDivisionError."""
+    with pytest.raises(ValueError):
+        xxhash_gate(docs, 1.5, ["doc_id"])
+    with pytest.raises(ValueError):
+        xxhash_gate(docs, -0.1, ["doc_id"])
+    with pytest.raises(ValueError):
+        mix_corpora({"a": (docs, 0.0), "b": (docs, 0.0)}, 100, ["doc_id"])
