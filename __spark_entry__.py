@@ -910,6 +910,128 @@ def q_pipeline_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _independent_kn_logp():
+    """Pure-Python re-derivation of the KN char-trigram log-prob table.
+
+    Imports ONLY the model's declared data (alphabet, discount, training
+    corpus) from functions/perplexity — none of its numeric code. Counts
+    are dict-based, probabilities are plain float64 Python arithmetic in
+    the same element-wise formula order as the production numpy build
+    (all reductions are integer-valued, hence exact in either engine),
+    and the result is quantized to the model's declared float32 table
+    precision. tests/test_functions.py pins this table bit-equal to the
+    production one, so a bug in CharTrigramLM.__init__ surfaces as a
+    parity failure there AND an oracle mismatch here."""
+    import math
+
+    import numpy as np
+
+    from pii_redaction_data_pipeline_spark.functions.perplexity import (
+        ALPHABET,
+        TRAIN_CORPUS,
+    )
+
+    D = 0.75  # the model's declared KN discount
+    V = len(ALPHABET) + 1
+    OOV = len(ALPHABET)
+    byte_to_id = {}
+    for i, c in enumerate(ALPHABET):
+        byte_to_id[ord(c)] = i
+    for u, lo in zip(b"ABCDEFGHIJKLMNOPQRSTUVWXYZ", b"abcdefghijklmnopqrstuvwxyz"):
+        byte_to_id[u] = byte_to_id[lo]
+
+    def ids_of(text: str) -> list[int]:
+        return [
+            byte_to_id.get(b, OOV)
+            for b in text.encode("latin-1", "replace")
+        ]
+
+    ids = ids_of(" " + TRAIN_CORPUS.lower().replace("\n", " ") + " ")
+    tri: dict[tuple[int, int, int], int] = {}
+    for a, b, c in zip(ids, ids[1:], ids[2:]):
+        tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+
+    # continuation counts
+    bi_cont: dict[tuple[int, int], int] = {}  # N1+(. w2 w3)
+    for (_, b, c) in tri:
+        bi_cont[(b, c)] = bi_cont.get((b, c), 0) + 1
+    uni_cont: dict[int, int] = {}  # N1+(. . w3)
+    for (_, c) in bi_cont:
+        uni_cont[c] = uni_cont.get(c, 0) + 1
+    n_bigram_types = max(float(sum(uni_cont.values())), 1.0)
+
+    p_uni = [
+        (float(uni_cont.get(c, 0)) + 1.0) / (n_bigram_types + V) for c in range(V)
+    ]
+
+    # bigram level
+    bi_ctx_tot = [0.0] * V  # N1+(. w2 .)
+    bi_types = [0.0] * V
+    for (b, _), n in bi_cont.items():
+        bi_ctx_tot[b] += float(n)
+        bi_types[b] += 1.0
+    p_bi = [[0.0] * V for _ in range(V)]
+    for b in range(V):
+        tot = bi_ctx_tot[b]
+        safe = tot if tot > 1.0 else 1.0
+        lam = D * bi_types[b] / safe
+        for c in range(V):
+            n = float(bi_cont.get((b, c), 0))
+            disc = n - D if n - D > 0.0 else 0.0
+            p_bi[b][c] = disc / safe + lam * p_uni[c] if tot > 0 else p_uni[c]
+
+    # trigram level
+    tri_ctx_tot: dict[tuple[int, int], float] = {}
+    tri_types: dict[tuple[int, int], float] = {}
+    for (a, b, _), n in tri.items():
+        tri_ctx_tot[(a, b)] = tri_ctx_tot.get((a, b), 0.0) + float(n)
+        tri_types[(a, b)] = tri_types.get((a, b), 0.0) + 1.0
+
+    logp = np.empty((V, V, V), dtype=np.float32)
+    for a in range(V):
+        for b in range(V):
+            tot = tri_ctx_tot.get((a, b), 0.0)
+            if tot <= 0.0:
+                for c in range(V):
+                    p = p_bi[b][c]
+                    logp[a, b, c] = np.float32(
+                        math.log(p) if p > 1e-12 else math.log(1e-12)
+                    )
+                continue
+            safe = tot if tot > 1.0 else 1.0
+            lam = D * tri_types[(a, b)] / safe
+            for c in range(V):
+                n = float(tri.get((a, b, c), 0))
+                disc = n - D if n - D > 0.0 else 0.0
+                p = disc / safe + lam * p_bi[b][c]
+                logp[a, b, c] = np.float32(
+                    math.log(p) if p > 1e-12 else math.log(1e-12)
+                )
+    return logp, ids_of
+
+
+def _independent_ppl(texts) -> list[float]:
+    """Float64 scalar KN perplexity over the independently re-derived
+    table (see _independent_kn_logp): per-text sum of float32 table
+    values accumulated in float64 — the production vectorized path's
+    chunked-cumsum accumulation agrees to ~1e-13 relative, far inside
+    the e4 rounding granularity."""
+    import math
+
+    logp, ids_of = _independent_kn_logp()
+    out = []
+    for t in texts:
+        ids = ids_of(" " + (t or "").lower() + " ")
+        if len(ids) < 3:
+            out.append(1.0)
+            continue
+        s = 0.0
+        for a, b, c in zip(ids, ids[1:], ids[2:]):
+            s += float(logp[a, b, c])
+        out.append(math.exp(-s / (len(ids) - 2)))
+    return out
+
+
 def _pipeline_documents_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Independent scalar re-derivation of the flagship pipeline over the
     sf0.01 documents corpus, emitted as a VALUES literal the driver's
@@ -922,11 +1044,14 @@ def _pipeline_documents_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     and the whole verdict assembly are re-derived here in plain Python —
     so a bug in the vectorized UDF paths, the window algebra, the
     delta-encodings across the shuffle, or the verdict expressions breaks
-    the hash match. The ONE shared numeric path is ppl_series (KN
-    perplexity): its float32 accumulation makes scalar re-computation
-    differ by ~1e-7, enough to flip a %.4f digit — so the oracle reuses
-    it and the scalar-vs-vectorized parity pytest pins its math
-    (tests/test_perplexity.py)."""
+    the hash match. Since round 3 the KN perplexity is ALSO re-derived
+    independently (_independent_kn_logp/_independent_ppl: pure-Python
+    dict-counted table quantized to the model's declared float32
+    precision, float64 scalar scoring) — round 2's one shared numeric
+    path (ppl_series) is gone, so a bug in the production table build
+    or the vectorized scorer now breaks this oracle directly. The mask
+    stripping feeding the scorer is likewise replicated locally
+    (regexes re-declared, not imported)."""
     import hashlib
     import re as _re
     from decimal import ROUND_HALF_UP, Decimal
@@ -935,14 +1060,10 @@ def _pipeline_documents_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     import pandas as pd
 
     from pii_redaction_data_pipeline_spark.config import DROP_REASONS, PipelineConfig
-    from pii_redaction_data_pipeline_spark.functions.fused import (
-        normalize_text,
-        ppl_input_series,
-    )
+    from pii_redaction_data_pipeline_spark.functions.fused import normalize_text
     from pii_redaction_data_pipeline_spark.functions.langid import (
         langid_frame_reference,
     )
-    from pii_redaction_data_pipeline_spark.functions.perplexity import default_model
     from pii_redaction_data_pipeline_spark.functions.scrub import scrub_text_value
 
     cfg = PipelineConfig()
@@ -955,7 +1076,14 @@ def _pipeline_documents_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     norm = [normalize_text(t or "") for t in docs["text"]]
     lid = langid_frame_reference(pd.Series(norm))
     scrubbed, counts = zip(*(scrub_text_value(t) for t in norm))
-    ppl = default_model().ppl_series(ppl_input_series(pd.Series(scrubbed)))
+    # mask stripping replicated locally (ppl scores scrubbed text with
+    # the [REDACTED T] tokens removed and whitespace re-collapsed)
+    mask_re = _re.compile(r"\[REDACTED [A-Z_]+\]")
+    ws_anom_re = _re.compile(r"\s\s+|[\t\n\x0b\f\r]", _re.ASCII)
+    ppl_inputs = [
+        ws_anom_re.sub(" ", mask_re.sub(" ", t)).strip(" ") for t in scrubbed
+    ]
+    ppl = pd.Series(_independent_ppl(ppl_inputs))
 
     def e4(x: float) -> int:
         # exact replica of Spark round(x*10000, 0): HALF_UP over the

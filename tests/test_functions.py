@@ -326,3 +326,40 @@ def test_text_stats_matches_jvm(spark):
     assert got["n_chars"].tolist() == exp["n_chars"].tolist()
     assert got["n_words"].tolist() == exp["n_words"].tolist()
     assert np.allclose(got["symbol_ratio"], exp["symbol_ratio"], atol=1e-12)
+
+
+def test_independent_kn_table_matches_production():
+    """The oracle's pure-Python KN re-derivation (__spark_entry__) must
+    reproduce the production numpy table bit-for-bit: every reduction in
+    the build is integer-valued (exact in both engines) and the
+    element-wise float64 formula order is identical, so any difference
+    is a real bug in one of the two builds."""
+    import importlib.util
+
+    import numpy as np
+
+    from pii_redaction_data_pipeline_spark.functions.perplexity import (
+        default_model,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_kn", "/root/repo/__spark_entry__.py"
+    )
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+    logp, ids_of = se._independent_kn_logp()
+    prod = default_model().logp
+    assert logp.shape == prod.shape
+    neq = int((logp != prod).sum())
+    assert neq == 0, f"{neq} table entries differ"
+    # scoring parity at e4 granularity on real corpus texts
+    import duckdb
+    import pandas as pd
+
+    texts = duckdb.sql(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') ORDER BY doc_id"
+    ).df()["text"].tolist()
+    ind = se._independent_ppl(texts)
+    prod_ppl = default_model().ppl_series(pd.Series(texts)).tolist()
+    for i, (a, b) in enumerate(zip(ind, prod_ppl)):
+        assert round(a * 10000) == round(b * 10000), (i, a, b)
