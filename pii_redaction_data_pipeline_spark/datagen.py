@@ -133,6 +133,12 @@ class Scale:
     skew_convs: int
     skew_turns: int
     seed: int
+    # every k-th conversation also gets a NEAR-DUPLICATE clone (same
+    # turn stream minus the last `dup_conv_trim` turns, conv_id suffixed
+    # "-dup"): the planted ground truth for conversation-level near-dup
+    # dedup. 0 = no clones (all pre-round-3 scales unchanged).
+    dup_conv_every: int = 0
+    dup_conv_trim: int = 2
 
 
 SCALES: dict[str, Scale] = {
@@ -149,6 +155,17 @@ SCALES: dict[str, Scale] = {
     # `bench`, so the raw N -> 4N ratio is the closest this sandbox gets
     # to a long cluster job's steady state
     "bench4x": Scale("bench4x", 7984, 940, 16, 30000, 5042),
+    # tiny + planted near-duplicate conversation clones: the fixture for
+    # conversation-level dedup (conv_neardup) and the composed curation
+    # DAG (curate_full). Every 3rd conv is cloned minus its last 2 turns
+    # -> conv-level 3-gram jaccard of the clone pair sits near 0.9,
+    # far above unrelated convs (which share stock sentences but
+    # different streams).
+    "tinydup": Scale("tinydup", 21, 25, 0, 0, 6042, dup_conv_every=3),
+    # one pathological ~100k-turn conversation among ordinary ones: the
+    # skew-torture fixture (VERDICT round-2 item 6) — phase 1 must stay
+    # salted/balanced, phase 2's conv_id window must survive the skew
+    "skewtort": Scale("skewtort", 8, 30, 1, 100_000, 7042),
 }
 
 
@@ -253,6 +270,7 @@ def generate(scale: str = "tiny") -> tuple[pd.DataFrame, pd.DataFrame]:
 
     for ci, n_turns in enumerate(sizes):
         conv = f"conv-{sc.name}-{ci:06d}"
+        conv_row_start = len(rows)  # for the near-dup clone pass
         seen: set[str] = set()
         clean_k = ci * 131  # offset so convs don't share identical sentence streams
         ts = BASE_TS + ci * 3_600_000_000
@@ -363,6 +381,21 @@ def generate(scale: str = "tiny") -> tuple[pd.DataFrame, pd.DataFrame]:
             )
             ts += int(rng.integers(5, 120)) * 1_000_000
             ti += 1
+
+        # planted near-duplicate conversation: clone this conv's rows
+        # and labels verbatim minus the last dup_conv_trim turns. The
+        # per-turn labels transfer exactly (duplicate/tool-loop state is
+        # within-conversation and truncation only removes suffix turns);
+        # ts shifts by a day so the clone is temporally distinct.
+        if sc.dup_conv_every and ci % sc.dup_conv_every == 0:
+            dup_conv = conv + "-dup"
+            n_keep_rows = max(len(rows) - conv_row_start - sc.dup_conv_trim, 1)
+            for r, lb in zip(
+                rows[conv_row_start : conv_row_start + n_keep_rows],
+                labels[conv_row_start : conv_row_start + n_keep_rows],
+            ):
+                rows.append((dup_conv, r[1], r[2], r[3], r[4], r[5] + 86_400_000_000))
+                labels.append((dup_conv,) + lb[1:])
 
     tdf = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]

@@ -198,6 +198,64 @@ def make_jaccard_udf(shingle_k: int = 3):
     return jaccard_udf
 
 
+def conversation_documents(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    order_col: str = "turn_idx",
+    sep: str = "\n",
+) -> DataFrame:
+    """Collapse a transcript table to one document per conversation:
+    (conv_id, conv_text) with turns concatenated in stable order.
+
+    One groupBy (map-side combined collect_list) — the collected array
+    is bounded by the conversation's own size, the unit every
+    conversation-level stage already holds together. The in-group sort
+    happens JVM-side via array_sort over (order_col, text) structs, so
+    no window/shuffle beyond the groupBy."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.array_join(F.transform(ordered, lambda s: s["t"]), sep).alias("conv_text")
+    )
+
+
+def conversation_neardup_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    order_col: str = "turn_idx",
+    jaccard_threshold: float = 0.6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Conversation-level near-dup pairs: the corpus analog of the
+    per-turn duplicate window (operators/windows.py), which by design
+    cannot see two CONVERSATIONS that are near-copies of each other
+    (re-uploaded batches, fork-and-edit transcripts). Concatenate each
+    conversation in stable (conv_id, turn_idx) order, then run the
+    banded MinHash-LSH near-dup machinery over the conversation
+    documents. Returns (conv_a, conv_b, jaccard) with conv_a < conv_b
+    (string order).
+
+    Scale: the concat groupBy is one shuffle bounded per-conversation;
+    downstream is the standard LSH band join, which ships ~24 B/row.
+    Reference analog: batch-level resubmission dedup
+    (backend/src/lambda/textract-bulk.py:108-118 skips already-processed
+    documents) lifted to content-level conversation identity."""
+    conv_docs = conversation_documents(df, conv_col, text_col, order_col)
+    pairs = minhash_lsh_pairs(
+        conv_docs,
+        text_col="conv_text",
+        id_col="conv_id",
+        jaccard_threshold=jaccard_threshold,
+        **lsh_kwargs,
+    )
+    return pairs.select(
+        F.col("id_a").alias("conv_a"), F.col("id_b").alias("conv_b"), "jaccard"
+    )
+
+
 # --- simhash ---------------------------------------------------------------
 
 

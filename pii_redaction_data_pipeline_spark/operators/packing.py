@@ -113,7 +113,8 @@ def pack_sequences(
     drop_last_partial: bool = False,
 ) -> DataFrame:
     """Materialize the packed sequences: (bucket, seq_idx, n_tokens,
-    tokens array<string>, doc_ids array<long>).
+    tokens array<string>, doc_ids array<id-type>) — the doc_ids element
+    type follows the input id column (long doc ids, string pack keys).
 
     Every sequence except possibly a bucket's last has exactly
     `seq_tokens` tokens; concatenating a bucket's sequences reproduces
@@ -124,6 +125,7 @@ def pack_sequences(
     placed = with_pack_placement(
         df, seq_tokens, n_buckets, id_col, text_col, portable
     ).select("bucket", id_col, text_col)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
@@ -148,6 +150,6 @@ def pack_sequences(
 
     schema = (
         "bucket int, seq_idx long, n_tokens int, "
-        "tokens array<string>, doc_ids array<long>"
+        f"tokens array<string>, doc_ids array<{id_type}>"
     )
     return placed.groupBy("bucket").applyInPandas(pack, schema)

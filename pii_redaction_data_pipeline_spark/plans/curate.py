@@ -1,0 +1,263 @@
+"""The end-to-end curation DAG as ONE resumable job.
+
+Round 2 shipped every stage individually green — annotate
+(plans/pipeline.py), conversation rollup (operators/windows.py),
+near-dup clustering (operators/dedup.py + components.py), deterministic
+sampling (operators/sampling.py), sequence packing (operators/
+packing.py) — but no single entry point ran the whole chain with
+lineage/resume across stage boundaries. That chain IS the reference's
+actual shape: one state machine end-to-end (reference
+backend/lib/cdk-stepfunctions-stack.js:315-328 wires extract ->
+status-merge -> detect -> post-process -> redact -> finalize as one
+execution, resumable via the DynamoDB status row). Here each Step
+Functions state becomes a Spark stage over tables:
+
+  annotate      per-turn quality filter + scrub (per-bucket resume
+                inside run_pipeline — the fine-grained checkpoint)
+  conv_verdict  conversation-level keep/drop rollup
+  conv_dedup    conversation near-dup pairs -> connected components ->
+                one representative per cluster (min conv_id)
+  sample        deterministic sha256-gate downsample of the survivors
+  pack          kept turns of surviving conversations -> fixed-length
+                training sequences (materialized applyInPandas)
+
+Stage-boundary checkpointing generalizes the reference's workflow
+status row (machine-state.py:60 INSERT; update-wf-status.py:42-49
+UPDATE): one lineage row per completed stage, keyed
+(run_id, "stage:<name>"). Resume = skip stages whose row exists; the
+annotate stage additionally resumes per-bucket. Stage outputs are
+overwrite-mode parquet, so a crash mid-stage re-runs just that stage
+idempotently.
+
+Scale notes: every cross-stage handoff is a parquet table, so each
+stage starts from a pruned scan (the conv-id lists are single-column
+tables that broadcast in the semi-joins); the only corpus-wide work is
+annotate's one conv_id shuffle and pack's placement window. The
+conversation id -> numeric key mapping for the component step uses
+xxhash64 (no global row_number at 10^9 conversations); representatives
+are then chosen as MIN(conv_id) per component, so the surviving set is
+independent of the hash values (a 2^-64 hash collision could only
+merge two clusters, never change rep determinism).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pii_redaction_data_pipeline_spark.config import PipelineConfig
+from pii_redaction_data_pipeline_spark.operators.components import (
+    connected_components,
+)
+from pii_redaction_data_pipeline_spark.operators.dedup import (
+    conversation_documents,
+    minhash_lsh_pairs,
+)
+from pii_redaction_data_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+)
+from pii_redaction_data_pipeline_spark.operators.windows import (
+    conversation_verdict,
+)
+from pii_redaction_data_pipeline_spark.sources.lineage import (
+    LINEAGE_SCHEMA,
+    LineageStore,
+)
+
+STAGES = ("annotate", "conv_verdict", "conv_dedup", "sample", "pack")
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_kept_frac: float = 0.5
+    min_kept_turns: int = 1
+    dedup_jaccard: float = 0.6
+    sample_rate: float = 0.85
+    sample_seed: int = 5
+    seq_tokens: int = 256
+    pack_buckets: int = 8
+
+
+def dedup_survivor_convs(
+    transcripts: DataFrame,
+    kept_convs: DataFrame,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Conversation-level near-dup dedup: -> (conv_id) survivors.
+
+    Concats raw turns of the verdict-surviving conversations, finds
+    near-dup pairs via MinHash-LSH, clusters them, and keeps exactly
+    one representative (the MINIMUM conv_id, string order) per cluster.
+    Conversations in no pair survive by definition.
+    """
+    convs = transcripts.join(F.broadcast(kept_convs.select("conv_id")), "conv_id", "semi")
+    docs = conversation_documents(convs)
+    pairs = minhash_lsh_pairs(
+        docs, text_col="conv_text", id_col="conv_id",
+        jaccard_threshold=jaccard_threshold,
+    )
+    # numeric keys for the component step (no global row_number at
+    # corpus scale); rep choice below is hash-independent
+    ids = (
+        pairs.select(F.col("id_a").alias("conv_id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .withColumn("cid", F.xxhash64("conv_id"))
+    )
+    npairs = (
+        pairs.join(ids.withColumnRenamed("conv_id", "id_a").withColumnRenamed("cid", "ca"), "id_a")
+        .join(ids.withColumnRenamed("conv_id", "id_b").withColumnRenamed("cid", "cb"), "id_b")
+        .select("ca", "cb")
+    )
+    comp = connected_components(npairs, src="ca", dst="cb")
+    members = ids.join(comp, ids.cid == comp.id).select("conv_id", "component_id")
+    reps = members.groupBy("component_id").agg(F.min("conv_id").alias("rep_conv"))
+    dropped = (
+        members.join(reps, "component_id")
+        .filter(F.col("conv_id") != F.col("rep_conv"))
+        .select("conv_id")
+    )
+    return kept_convs.select("conv_id").join(
+        F.broadcast(dropped), "conv_id", "anti"
+    )
+
+
+def run_curation(
+    spark: SparkSession,
+    input_path: str,
+    work_dir: str,
+    run_id: str = "curate-0",
+    cfg: PipelineConfig | None = None,
+    ccfg: CurationConfig | None = None,
+    fail_after_stage: str | None = None,
+) -> dict:
+    """Run (or resume) the whole curation DAG. Returns a summary dict.
+
+    `fail_after_stage` injects a crash after the named stage completes
+    (its lineage row IS written first) — the cross-stage analog of
+    run_pipeline's fail_after_buckets, for the kill-and-resume test.
+    """
+    from pii_redaction_data_pipeline_spark.operators.packing import pack_sequences
+    from pii_redaction_data_pipeline_spark.plans.pipeline import run_pipeline
+    from pii_redaction_data_pipeline_spark.sources.tables import BUCKET_COL
+
+    cfg = cfg or PipelineConfig()
+    ccfg = ccfg or CurationConfig()
+    work = work_dir.rstrip("/")
+    paths = {
+        "annotated": f"{work}/annotated",
+        "lineage": f"{work}/lineage",
+        "conv_verdict": f"{work}/conv_verdict",
+        "survivor_convs": f"{work}/survivor_convs",
+        "sampled_convs": f"{work}/sampled_convs",
+        "packed": f"{work}/packed",
+    }
+    lineage = LineageStore(spark, paths["lineage"])
+
+    def done_stages() -> set[str]:
+        rows = (
+            lineage.read()
+            .filter(
+                (F.col("run_id") == run_id)
+                & F.col("partition_id").startswith("stage:")
+                & (F.col("status") == "complete")
+            )
+            .select("partition_id")
+            .collect()
+        )
+        return {r.partition_id.removeprefix("stage:") for r in rows}
+
+    def mark(stage: str, rows_out: int):
+        lineage.append(
+            spark.createDataFrame(
+                [(run_id, f"stage:{stage}", int(rows_out), int(rows_out),
+                  None, None, "complete", int(time.time() * 1000))],
+                LINEAGE_SCHEMA,
+            )
+        )
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+
+    done = done_stages()
+    ran: list[str] = []
+
+    # --- stage 1: annotate (per-bucket resume inside run_pipeline) ---
+    if "annotate" not in done:
+        run_pipeline(
+            spark, input_path, paths["annotated"], paths["lineage"],
+            run_id=run_id, cfg=cfg,
+        )
+        mark("annotate", cfg.n_buckets)
+        ran.append("annotate")
+
+    def annotated() -> DataFrame:
+        out = spark.read.parquet(paths["annotated"])
+        return out.filter(F.col("run_id") == run_id)
+
+    # --- stage 2: conversation verdict rollup ---
+    if "conv_verdict" not in done:
+        cv = conversation_verdict(
+            annotated(), min_kept_frac=ccfg.min_kept_frac,
+            min_kept_turns=ccfg.min_kept_turns,
+        )
+        cv.write.mode("overwrite").parquet(paths["conv_verdict"])
+        mark("conv_verdict", cv.count())
+        ran.append("conv_verdict")
+
+    # --- stage 3: conversation near-dup dedup ---
+    if "conv_dedup" not in done:
+        kept = (
+            spark.read.parquet(paths["conv_verdict"])
+            .filter("conv_keep")
+            .select("conv_id")
+        )
+        # raw transcripts for the content identity (normalization-free:
+        # the same bytes a re-uploaded batch would carry)
+        tr = spark.read.parquet(input_path)
+        surv = dedup_survivor_convs(tr, kept, ccfg.dedup_jaccard)
+        surv.write.mode("overwrite").parquet(paths["survivor_convs"])
+        mark("conv_dedup", surv.count())
+        ran.append("conv_dedup")
+
+    # --- stage 4: deterministic downsample ---
+    if "sample" not in done:
+        surv = spark.read.parquet(paths["survivor_convs"])
+        sampled = deterministic_sample(
+            surv, ccfg.sample_rate, ["conv_id"], seed=ccfg.sample_seed
+        )
+        sampled.write.mode("overwrite").parquet(paths["sampled_convs"])
+        mark("sample", sampled.count())
+        ran.append("sample")
+
+    # --- stage 5: sequence packing of the curated turns ---
+    if "pack" not in done:
+        sampled = spark.read.parquet(paths["sampled_convs"])
+        curated = (
+            annotated()
+            .filter("keep")
+            .join(F.broadcast(sampled), "conv_id", "semi")
+            .withColumn(
+                "pack_key",
+                F.concat_ws("#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 6, "0")),
+            )
+        )
+        packed = pack_sequences(
+            curated, seq_tokens=ccfg.seq_tokens, n_buckets=ccfg.pack_buckets,
+            id_col="pack_key", text_col="scrubbed_text",
+        )
+        packed.write.mode("overwrite").parquet(paths["packed"])
+        mark("pack", packed.count())
+        ran.append("pack")
+
+    summary = {
+        "run_id": run_id,
+        "stages_ran": ran,
+        "stages_skipped": sorted(done),
+        "paths": paths,
+    }
+    if not ran:
+        summary["resumed"] = True
+    return summary

@@ -52,8 +52,12 @@ class LineageStore:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
 
     def completed_buckets(self, run_id: str) -> list[int]:
+        # partition_id also carries stage-boundary rows ("stage:<name>",
+        # plans/curate.py) — bucket resume only reads the numeric ones
         df = self.read().filter(
-            (F.col("run_id") == run_id) & (F.col("status") == "complete")
+            (F.col("run_id") == run_id)
+            & (F.col("status") == "complete")
+            & F.col("partition_id").rlike("^[0-9]+$")
         )
         return [int(r.partition_id) for r in df.select("partition_id").distinct().collect()]
 

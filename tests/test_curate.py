@@ -1,0 +1,107 @@
+"""The composed curation DAG (plans/curate.py): stage wiring,
+cross-stage kill-and-resume, and the whole-chain oracle replay."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pii_redaction_data_pipeline_spark.plans.curate import (
+    STAGES,
+    CurationConfig,
+    run_curation,
+)
+
+
+@pytest.fixture(scope="module")
+def tinydup_path():
+    import __spark_entry__ as E
+
+    return f"{E._tinydup_dir()}/transcripts.parquet"
+
+
+def _packed_canonical(spark, path):
+    """Order-free canonical form of the packed output."""
+    rows = (
+        spark.read.parquet(path)
+        .select("bucket", "seq_idx", "n_tokens",
+                F.md5(F.array_join("tokens", "\x00")).alias("tok_md5"),
+                F.array_join("doc_ids", ",").alias("docs"))
+        .collect()
+    )
+    return sorted(tuple(r) for r in rows)
+
+
+def test_clean_run_all_stages(spark, tinydup_path, tmp_path):
+    s = run_curation(spark, tinydup_path, str(tmp_path / "w"), run_id="c-clean")
+    assert s["stages_ran"] == list(STAGES)
+    assert spark.read.parquet(s["paths"]["packed"]).count() > 0
+    # second invocation is a pure no-op
+    s2 = run_curation(spark, tinydup_path, str(tmp_path / "w"), run_id="c-clean")
+    assert s2.get("resumed") is True and s2["stages_ran"] == []
+
+
+@pytest.mark.parametrize("crash_after", ["annotate", "conv_dedup", "sample"])
+def test_kill_and_resume_across_stages(spark, tinydup_path, tmp_path, crash_after):
+    """Inject a crash at a stage boundary; the resumed run must skip the
+    completed prefix, run exactly the remaining stages, and produce a
+    final packed output identical to an uninterrupted run."""
+    clean = run_curation(spark, tinydup_path, str(tmp_path / "a"), run_id="c1")
+    want = _packed_canonical(spark, clean["paths"]["packed"])
+
+    wd = str(tmp_path / f"b-{crash_after}")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_curation(spark, tinydup_path, wd, run_id="c1",
+                     fail_after_stage=crash_after)
+    resumed = run_curation(spark, tinydup_path, wd, run_id="c1")
+    i = STAGES.index(crash_after)
+    assert resumed["stages_skipped"] == sorted(STAGES[: i + 1])
+    assert resumed["stages_ran"] == list(STAGES[i + 1 :])
+    assert _packed_canonical(spark, resumed["paths"]["packed"]) == want
+
+
+def test_dedup_stage_drops_planted_clones(spark, tinydup_path, tmp_path):
+    """The conv_dedup stage must drop exactly the planted '-dup' clones
+    whose pair survived the verdict gate, always keeping the original
+    (min conv_id) as representative."""
+    s = run_curation(spark, tinydup_path, str(tmp_path / "w"), run_id="c2",
+                     ccfg=CurationConfig(sample_rate=1.0))
+    kept = {
+        r.conv_id
+        for r in spark.read.parquet(s["paths"]["conv_verdict"])
+        .filter("conv_keep").select("conv_id").collect()
+    }
+    surv = {
+        r.conv_id
+        for r in spark.read.parquet(s["paths"]["survivor_convs"]).collect()
+    }
+    dropped = kept - surv
+    assert dropped, "expected at least one planted clone pair to survive the verdict"
+    for c in dropped:
+        assert c.endswith("-dup"), c
+        assert c.removesuffix("-dup") in surv  # the original represents
+    # sample_rate=1.0 -> packed covers every kept turn of the survivors
+    packed = spark.read.parquet(s["paths"]["packed"])
+    total_tokens = packed.agg(F.sum("n_tokens")).first()[0]
+    assert total_tokens > 0
+
+
+def test_curate_full_query_matches_oracle(spark):
+    """Local replay of the driver's whole-chain correctness row: the
+    composed Spark plan vs the DuckDB re-derivation from planted
+    labels (verdict + jaccard edges + recursive components + sha gate
+    + placement window)."""
+    import __spark_entry__ as E
+
+    sdf = E.q_curate_full(spark, "unused").toPandas()
+    ddf = duckdb.sql(E._curate_full_oracle()).df()
+    assert len(sdf) == len(ddf) > 0
+    sdf = sdf[sorted(sdf.columns)]
+    ddf = ddf[sorted(ddf.columns)]
+    assert list(sdf.columns) == list(ddf.columns)
+    for c in sdf.columns:
+        assert (sdf[c].astype(object) == ddf[c].astype(object)).all(), c

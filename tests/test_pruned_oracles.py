@@ -1,7 +1,9 @@
-"""The six queries pruned from the 50-entry driver contract (see
+"""The queries pruned from the 50-entry driver contract (see
 __spark_entry__.queries() docstring) stay value-checked here: each runs
 on Spark and on DuckDB over the same parquet tables and must match on
-sorted values, exactly like the driver's correctness gate."""
+sorted values, exactly like the driver's correctness gate. The
+parametrization derives from PRUNED_QUERIES, so a newly pruned query is
+covered automatically (or fails loudly if its oracle is missing)."""
 
 import os
 import sys
@@ -33,11 +35,15 @@ def _canon(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["a1_status_rollup", "j2b_semi", "tpch_q5", "rollup_matrix",
-     "quality_score", "fingerprint", "simhash", "tpch_q10", "date_funcs"],
-)
+def _pruned_names():
+    import __spark_entry__ as E
+
+    missing = sorted(set(E.PRUNED_QUERIES) - set(E.PRUNED_ORACLES))
+    assert not missing, f"pruned queries without oracle SQL: {missing}"
+    return sorted(E.PRUNED_QUERIES)
+
+
+@pytest.mark.parametrize("name", _pruned_names())
 def test_pruned_query_matches_oracle(name, spark, ducks):
     import __spark_entry__ as E
 
