@@ -82,6 +82,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="disable the D1 NFKC/zero-width normalization stage "
         "(on by default; see functions/fused.py normalize_text)",
     )
+    p.add_argument(
+        "--curate-full",
+        action="store_true",
+        help="run the WHOLE curation DAG (annotate -> conversation "
+        "verdict -> conversation near-dup dedup -> deterministic sample "
+        "-> sequence packing) as one resumable job (plans/curate.py); "
+        "--output becomes the work dir holding every stage's table, "
+        "--lineage is ignored (the work dir carries its own)",
+    )
+    p.add_argument("--dedup-jaccard", type=float, default=0.6,
+                   help="conv near-dup threshold for --curate-full")
+    p.add_argument("--sample-rate", type=float, default=0.85,
+                   help="deterministic downsample rate for --curate-full")
+    p.add_argument("--seq-tokens", type=int, default=256,
+                   help="packed sequence length for --curate-full")
+    p.add_argument("--pack-buckets", type=int, default=64,
+                   help="packing pseudo-shuffle buckets for --curate-full")
     return p.parse_args(argv)
 
 
@@ -113,6 +130,28 @@ def main(argv: list[str] | None = None) -> dict:
         shuffle_partitions=args.shuffle_partitions,
         app_name=f"quality-filter:{args.run_id}",
     )
+    if args.curate_full:
+        from pii_redaction_data_pipeline_spark.plans.curate import (
+            CurationConfig,
+            run_curation,
+        )
+
+        summary = run_curation(
+            spark,
+            input_path=args.input,
+            work_dir=args.output,
+            run_id=args.run_id,
+            cfg=build_config(args),
+            ccfg=CurationConfig(
+                min_kept_frac=args.conv_min_kept_frac,
+                dedup_jaccard=args.dedup_jaccard,
+                sample_rate=args.sample_rate,
+                seq_tokens=args.seq_tokens,
+                pack_buckets=args.pack_buckets,
+            ),
+        )
+        print(json.dumps(summary))
+        return summary
     summary = run_pipeline(
         spark,
         input_path=args.input,

@@ -218,3 +218,21 @@ def test_job_curated_output(tmp_path, spark):
         assert verdicts[r["conv_id"]] is True
     # at least one conversation was dropped whole by the gate
     assert set(verdicts) - {r["conv_id"] for r in rows}
+
+
+def test_curate_full_cli(spark, tmp_path):
+    """spark-submit surface for the composed DAG: --curate-full runs
+    run_curation end-to-end and the summary names every stage."""
+    import __spark_entry__ as E
+    from pii_redaction_data_pipeline_spark.job import main
+    from pii_redaction_data_pipeline_spark.plans.curate import STAGES
+
+    tp = f"{E._tinydup_dir()}/transcripts.parquet"
+    out = str(tmp_path / "curate")
+    s = main([
+        "--input", tp, "--output", out, "--lineage", "unused",
+        "--run-id", "cli-curate", "--master", "local[8]",
+        "--curate-full", "--sample-rate", "1.0",
+    ])
+    assert s["stages_ran"] == list(STAGES)
+    assert spark.read.parquet(s["paths"]["packed"]).count() > 0

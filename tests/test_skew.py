@@ -51,3 +51,48 @@ def test_unsalted_repartition_keeps_conversation_whole(spark):
         .count()
     )
     assert per == 0  # every conversation lives in exactly one partition
+
+
+def test_skew_torture_pipeline(spark, tmp_path):
+    """VERDICT round-2 item 6: one pathological ~100k-turn conversation
+    (datagen scale 'skewtort') through the full pipeline. Pins that
+    (a) phase 1 takes the SALTED repartition (the scan's few natural
+    splits are below the parallelism target, so the plan must contain
+    the (conv_id, _salt) exchange and spread the hot conversation),
+    (b) the unsalted phase-2 window survives the skew, and (c) per-turn
+    verdicts and scrubbed text still exactly match the planted labels —
+    correctness is partitioning-independent."""
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.datagen import write_parquet
+    from pii_redaction_data_pipeline_spark.plans.pipeline import (
+        annotate,
+        tune_shuffle_partitions,
+    )
+
+    tp, lp = write_parquet("skewtort", str(tmp_path))
+    tr = spark.read.parquet(tp)
+    n_rows = tr.count()
+    assert n_rows > 100_000  # the planted hot conversation dominates
+    hot = tr.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    assert hot["count"] >= 100_000
+
+    tune_shuffle_partitions(spark, tr)
+    ann = annotate(tr, PipelineConfig(), spark)
+
+    # (a) plan pin: the salted phase-1 exchange is present (few natural
+    # splits -> annotate must not run the UDF on the skewed scan layout)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, plan[:2000]
+
+    # (b)+(c): the whole skewed conversation flows through the window
+    # phase and every verdict matches the generator's planted label
+    exp = spark.read.parquet(lp)
+    j = ann.alias("a").join(exp.alias("e"), ["conv_id", "turn_idx"], "full")
+    assert j.count() == n_rows
+    assert j.filter(F.col("a.keep") != F.col("e.keep")).count() == 0
+    assert (
+        j.filter(
+            ~F.col("a.scrubbed_text").eqNullSafe(F.col("e.scrubbed_text"))
+        ).count()
+        == 0
+    )
