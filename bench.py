@@ -92,6 +92,35 @@ def time_pipeline(
     }
 
 
+def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
+    """End-to-end curation DAG wall-clock (annotate -> conv verdict ->
+    conv near-dup dedup -> sample -> pack, plans/curate.py) -> turns/sec.
+    One timed run (the DAG subsumes the pipeline already measured as the
+    median-of-3 flagship; this reports the composed overhead)."""
+    import shutil
+
+    from pii_redaction_data_pipeline_spark.plans.curate import (
+        CurationConfig,
+        run_curation,
+    )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    n_turns = pq.read_metadata(transcripts_path).num_rows
+    t0 = time.time()
+    run_curation(
+        spark, transcripts_path, out_dir, run_id="bench",
+        ccfg=CurationConfig(pack_buckets=128),
+    )
+    wall = time.time() - t0
+    return {
+        "turns": n_turns,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -182,6 +211,12 @@ def main():
     )
     pipe["control_work_per_sec"] = [ctrl_before, ctrl_after]
     timings["pipeline_transcripts"] = pipe["wall_sec"]
+    # the composed curation DAG, one timed run (steady state: the
+    # session is fully warm after the pipeline medians above)
+    curate = time_curation(
+        spark, transcripts, os.path.join(REPO, ".bench_cache", scale, "curate")
+    )
+    timings["curate_full_dag"] = curate["wall_sec"]
     spark.stop()
 
     result = {
@@ -191,6 +226,7 @@ def main():
         "queries": timings,
         "sf": float(sf),
         "pipeline": pipe,
+        "curation_dag": curate,
         "cpus": int(cpus),
     }
 

@@ -94,11 +94,27 @@ def dedup_survivor_convs(
     Conversations in no pair survive by definition.
     """
     convs = transcripts.join(F.broadcast(kept_convs.select("conv_id")), "conv_id", "semi")
-    docs = conversation_documents(convs)
+    # materialize the two reused frames ONCE: the conv-doc aggregation
+    # feeds the LSH self-join (signatures twice, verify texts twice) and
+    # the pair list feeds four downstream consumers (id map, two key
+    # joins, the component rounds) — without the checkpoints Spark
+    # re-derives the whole scan+groupBy+UDF chain per consumer (~6x;
+    # profiled 73 s -> ~10 s at the 20k-turn bench scale). Executor-local
+    # checkpoint storage is the right trade at corpus scale too: one row
+    # per conversation, read four times.
+    # explicit partition count: AQE coalesces the small groupBy output
+    # to ONE partition, which would serialize the signature UDF pass —
+    # a user-specified repartition is exempt from advisory coalescing
+    n_parts = transcripts.sparkSession.sparkContext.defaultParallelism * 2
+    docs = (
+        conversation_documents(convs)
+        .repartition(n_parts, "conv_id")
+        .localCheckpoint(eager=True)
+    )
     pairs = minhash_lsh_pairs(
         docs, text_col="conv_text", id_col="conv_id",
         jaccard_threshold=jaccard_threshold,
-    )
+    ).localCheckpoint(eager=True)
     # numeric keys for the component step (no global row_number at
     # corpus scale); rep choice below is hash-independent
     ids = (
@@ -204,7 +220,9 @@ def run_curation(
             min_kept_turns=ccfg.min_kept_turns,
         )
         cv.write.mode("overwrite").parquet(paths["conv_verdict"])
-        mark("conv_verdict", cv.count())
+        # count the WRITTEN table: counting the lazy frame would re-run
+        # the whole stage computation a second time
+        mark("conv_verdict", spark.read.parquet(paths["conv_verdict"]).count())
         ran.append("conv_verdict")
 
     # --- stage 3: conversation near-dup dedup ---
@@ -219,7 +237,7 @@ def run_curation(
         tr = spark.read.parquet(input_path)
         surv = dedup_survivor_convs(tr, kept, ccfg.dedup_jaccard)
         surv.write.mode("overwrite").parquet(paths["survivor_convs"])
-        mark("conv_dedup", surv.count())
+        mark("conv_dedup", spark.read.parquet(paths["survivor_convs"]).count())
         ran.append("conv_dedup")
 
     # --- stage 4: deterministic downsample ---
@@ -229,7 +247,7 @@ def run_curation(
             surv, ccfg.sample_rate, ["conv_id"], seed=ccfg.sample_seed
         )
         sampled.write.mode("overwrite").parquet(paths["sampled_convs"])
-        mark("sample", sampled.count())
+        mark("sample", spark.read.parquet(paths["sampled_convs"]).count())
         ran.append("sample")
 
     # --- stage 5: sequence packing of the curated turns ---
@@ -249,7 +267,7 @@ def run_curation(
             id_col="pack_key", text_col="scrubbed_text",
         )
         packed.write.mode("overwrite").parquet(paths["packed"])
-        mark("pack", packed.count())
+        mark("pack", spark.read.parquet(paths["packed"]).count())
         ran.append("pack")
 
     summary = {
