@@ -1439,24 +1439,29 @@ def _tinydup_dir() -> str:
     return d
 
 
-# Exact conversation-level word-3-gram jaccard: concat turns in stable
-# (conv_id, turn_idx) order, then the same distinct-gram jaccard shape
-# as _NGRAM_TRUTH_SQL — the ground truth for conv_neardup AND the dup
-# edge set inside _curate_full_oracle.
+# Exact conversation-level TURN-3-gram jaccard: fingerprint each turn
+# (md5 of its text — any injective-enough per-turn digest yields the
+# same SET CARDINALITIES as the engine's xxhash64 fingerprints, and
+# jaccard only depends on cardinalities), order fingerprints by
+# turn_idx, shingle every 3 consecutive fingerprints, then the same
+# distinct-gram jaccard shape as _NGRAM_TRUTH_SQL. Ground truth for
+# conv_neardup AND the dup edge set inside _curate_full_oracle. Turn
+# granularity (not word-grams of the concatenated text) is the
+# conversation identity the engine computes — see
+# operators/dedup.py conversation_turn_shingles for why.
 _CONV_GRAMS_SQL = r"""
-    conv_docs AS (
-        SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS ctext
-        FROM {src} GROUP BY conv_id),
-    cnorm AS (
-        SELECT conv_id,
-               regexp_split_to_array(lower(trim(regexp_replace(ctext, '\s+', ' ', 'g'))), ' ') AS w
-        FROM conv_docs),
+    tfps AS (
+        SELECT conv_id, turn_idx, md5(text) AS fp FROM {src}),
+    tseq AS (
+        SELECT conv_id, fp,
+               lead(fp, 1) OVER w AS fp1, lead(fp, 2) OVER w AS fp2
+        FROM tfps WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
     cgrams AS (
-        SELECT conv_id, DISTINCT_G.g FROM cnorm,
-        LATERAL (SELECT DISTINCT unnest(
-            CASE WHEN len(w) >= 3
-                 THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
-                 ELSE [array_to_string(w, ' ')] END) AS g) AS DISTINCT_G),
+        SELECT DISTINCT conv_id, fp || '|' || fp1 || '|' || fp2 AS g
+        FROM tseq WHERE fp2 IS NOT NULL
+        UNION
+        SELECT conv_id, string_agg(fp, '|' ORDER BY turn_idx) AS g
+        FROM tfps GROUP BY conv_id HAVING count(*) < 3),
     csizes AS (SELECT conv_id, count(*) AS n_sh FROM cgrams GROUP BY conv_id),
     cpairs AS (
         SELECT x.conv_id AS conv_a, y.conv_id AS conv_b, count(*) AS inter
@@ -1549,16 +1554,22 @@ def _curate_full_oracle() -> str:
 
 def q_conv_neardup(spark, sf_dir):
     """Conversation-level near-dup pairs (operators/dedup.py
-    conversation_neardup_pairs): concat each conversation in stable
-    (conv_id, turn_idx) order, MinHash-LSH over the conversation
-    documents, exact-jaccard verify. ORACLE-CHECKED against the exact
-    word-3-gram jaccard of the same concatenation in DuckDB: the
-    planted clone pairs sit at jaccard 0.72-0.99 while unrelated
-    conversations top out near 0.49, so the 0.6 threshold is
-    recall-complete for the banded LSH (16 bands x 4 rows: miss
-    probability < 1e-6 at j=0.72) and the output must EQUAL the truth
-    set. The corpus analog of J2's batch-level dedup that the per-turn
-    window cannot see (VERDICT round-2 item 5)."""
+    conversation_neardup_pairs): fingerprint each turn, shingle every 3
+    consecutive fingerprints in stable (conv_id, turn_idx) order,
+    banded MinHash-LSH over the shingle sets, exact jaccard verify via
+    JVM array_intersect — zero Python UDFs, and the turn-granular
+    identity stays discriminative on boilerplate-heavy corpora where
+    word-gram similarity of concatenated text degenerates (see the
+    operator docstring). ORACLE-CHECKED against the exact turn-3-gram
+    jaccard re-derived in DuckDB from md5 turn digests (identical set
+    cardinalities): the planted clone pairs sit at jaccard ~0.9 (clone
+    = same turn stream minus the last 2 turns) while unrelated
+    conversations share no 3 consecutive identical turns (jaccard 0),
+    so the 0.6 threshold is recall-complete for the banded LSH
+    (16 bands x 4 rows: miss probability < 1e-9 at j=0.9) and the
+    output must EQUAL the truth set. The corpus analog of J2's
+    batch-level dedup that the per-turn window cannot see (VERDICT
+    round-2 item 5)."""
     from pii_redaction_data_pipeline_spark.operators.dedup import (
         conversation_neardup_pairs,
     )

@@ -138,6 +138,60 @@ def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 3, seed: int = 1234):
     return minhash_udf
 
 
+def _band_candidates(with_sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> candidate (id_a, id_b): banded-LSH bucket equi-join.
+
+    The band join carries ONLY (band, band_hash, id) — never the text or
+    the signature — so the bands-x explode shuffles ~24 bytes/row
+    instead of the corpus."""
+    rows = n_hashes // bands
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = with_sig.select("id", "sig", band_idx).withColumn(
+        "band_hash", F.xxhash64(F.slice("sig", F.col("band") * rows + 1, rows))
+    ).drop("sig")
+    lhs = banded.select("band", "band_hash", F.col("id").alias("id_a"))
+    rhs = banded.select("band", "band_hash", F.col("id").alias("id_b"))
+    return (
+        lhs.join(rhs, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _estimate_filter(
+    cand: DataFrame, with_sig: DataFrame, n_hashes: int, est_threshold: float
+) -> DataFrame:
+    """Drop candidate pairs whose SIGNATURE-estimated jaccard (matching-
+    component fraction, an unbiased estimator with stderr
+    sqrt(j(1-j)/n_hashes)) falls below est_threshold — a pure-JVM array
+    comparison that runs BEFORE any per-pair feature join, so a
+    boilerplate-heavy corpus's O(corpus) mid-similarity band collisions
+    die at ~8 B x n_hashes per row instead of reaching the exact
+    verify."""
+    return (
+        cand.join(
+            with_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            with_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn(
+            "_est",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            / F.lit(n_hashes),
+        )
+        .filter(F.col("_est") >= est_threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -147,30 +201,31 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 1234,
+    est_margin: float | None = 0.2,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, verified with
-    exact shingle jaccard. Returns (id_a, id_b, jaccard) with id_a<id_b."""
-    rows = n_hashes // bands
+    exact shingle jaccard. Returns (id_a, id_b, jaccard) with id_a<id_b.
+
+    est_margin adds a SIGNATURE-ESTIMATE pre-filter between banding and
+    the exact verify: the matching-component fraction of two minhash
+    signatures is an unbiased jaccard estimator (stderr
+    sqrt(j(1-j)/n_hashes) ~ 0.06 at n=64), so candidates estimating
+    below jaccard_threshold - est_margin are discarded from a pure-JVM
+    array comparison BEFORE any text is joined or re-shingled. On a
+    boilerplate-heavy corpus the band join emits O(corpus) mid-
+    similarity candidates (profiled: 2,000 synthetic 940-turn
+    conversations -> 411k candidates = 20% of all pairs) and the exact
+    verify — O(candidate x doc bytes) — becomes the bottleneck; the
+    estimate kills that mass for ~24 B x n_hashes per row. A margin of
+    0.2 (> 3 stderr) makes the recall loss for a TRUE >= threshold pair
+    < 0.1%; thresholds <= est_margin disable the filter automatically
+    (estimate >= 0 always). None disables it explicitly."""
     sig = make_minhash_udf(n_hashes, shingle_k, seed)
     with_sig = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
-
-    # the band join carries ONLY (band, band_hash, id) — never the text.
-    # Texts re-join by id for the verify stage, so the 16x band explode
-    # shuffles ~24 bytes/row instead of the whole corpus.
-    band_idx = F.explode(
-        F.sequence(F.lit(0), F.lit(bands - 1))
-    ).alias("band")
-    banded = with_sig.select("id", "sig", band_idx).withColumn(
-        "band_hash", F.xxhash64(F.slice("sig", F.col("band") * rows + 1, rows))
-    ).drop("sig")
-    lhs = banded.select("band", "band_hash", F.col("id").alias("id_a"))
-    rhs = banded.select("band", "band_hash", F.col("id").alias("id_b"))
-    cand = (
-        lhs.join(rhs, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _band_candidates(with_sig, n_hashes, bands)
+    est_threshold = jaccard_threshold - (est_margin if est_margin is not None else 1.0)
+    if est_threshold > 0:
+        cand = _estimate_filter(cand, with_sig, n_hashes, est_threshold)
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     cand = (
         cand.join(texts.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a")), "id_a")
@@ -221,38 +276,135 @@ def conversation_documents(
     )
 
 
+def conversation_turn_shingles(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    order_col: str = "turn_idx",
+    k: int = 3,
+) -> DataFrame:
+    """(conv_id, n_turns, shingles: array<long>) — conversation identity
+    at TURN granularity: fingerprint each turn (xxhash64 of its text),
+    order the fingerprints by turn_idx, and hash every k consecutive
+    fingerprints into one shingle. A conversation with fewer than k
+    turns contributes its whole fingerprint sequence as one shingle.
+
+    Why turns and not words: conversation-level similarity over word
+    k-grams of the CONCATENATED text degenerates on boilerplate-heavy
+    corpora — two long unrelated conversations drawing on the same
+    stock phrasing share most within-sentence word-grams, so their
+    jaccard floats into the LSH candidate zone and the band join emits
+    O(corpus^2 at worst) mid-similarity candidates (profiled: 2,000
+    synthetic 940-turn conversations -> 411k candidates = 20% of all
+    pairs, exact-verify-bound). The near-copies conversation dedup
+    actually hunts — re-uploaded batches, fork-and-edit transcripts,
+    truncated re-runs (reference analog: backend/src/lambda/
+    textract-bulk.py:108-118 skips already-processed documents) — share
+    exact TURNS, not merely phrasing, so shingling the turn-fingerprint
+    sequence keeps those pairs at jaccard ~1 while unrelated
+    conversations (which would need k identical consecutive turns)
+    drop to ~0. It is also ~100x cheaper: the groupBy collects 8-byte
+    fingerprints instead of the conversation text, and every downstream
+    op is a JVM array op on ~n_turns longs.
+    """
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.xxhash64(text_col).alias("f"))
+        )
+    )
+    fps = F.transform(ordered, lambda s: s["f"])
+    g = df.groupBy(F.col(conv_col).alias("conv_id")).agg(fps.alias("fps"))
+    n = F.size("fps")
+    grams = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.xxhash64(F.slice("fps", i, k)),
+            )
+        ),
+    ).otherwise(F.array(F.xxhash64("fps")))
+    return g.select("conv_id", n.alias("n_turns"), grams.alias("shingles"))
+
+
+def _seeded_minhash_sig(shingle_col: str, n_hashes: int) -> F.Column:
+    """MinHash signature from a precomputed shingle-hash array, fully
+    JVM-side: component h = min over shingles of xxhash64(shingle, h).
+    Seeded-xxhash64 components are independent enough for the standard
+    minhash estimator; no Python UDF, stays in codegen.
+
+    NB: the per-component lambda must be UNARY — PySpark's transform()
+    dispatches on lambda arity, so a `lambda s, h=h:` closure would be
+    called as the binary (element, index) form with the array INDEX
+    silently replacing the seed."""
+
+    def component(h: int):
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(h))))
+
+    return F.array(*[component(h) for h in range(n_hashes)])
+
+
 def conversation_neardup_pairs(
     df: DataFrame,
     conv_col: str = "conv_id",
     text_col: str = "text",
     order_col: str = "turn_idx",
     jaccard_threshold: float = 0.6,
-    **lsh_kwargs,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    est_margin: float | None = 0.2,
 ) -> DataFrame:
     """Conversation-level near-dup pairs: the corpus analog of the
     per-turn duplicate window (operators/windows.py), which by design
-    cannot see two CONVERSATIONS that are near-copies of each other
-    (re-uploaded batches, fork-and-edit transcripts). Concatenate each
-    conversation in stable (conv_id, turn_idx) order, then run the
-    banded MinHash-LSH near-dup machinery over the conversation
-    documents. Returns (conv_a, conv_b, jaccard) with conv_a < conv_b
-    (string order).
+    cannot see two CONVERSATIONS that are near-copies of each other.
+    Returns (conv_a, conv_b, jaccard) with conv_a < conv_b (string
+    order), jaccard computed EXACTLY over the turn-fingerprint k-gram
+    shingle sets (see conversation_turn_shingles for why turn
+    granularity is both the correct transcript identity and the 100 TB
+    path).
 
-    Scale: the concat groupBy is one shuffle bounded per-conversation;
-    downstream is the standard LSH band join, which ships ~24 B/row.
-    Reference analog: batch-level resubmission dedup
-    (backend/src/lambda/textract-bulk.py:108-118 skips already-processed
-    documents) lifted to content-level conversation identity."""
-    conv_docs = conversation_documents(df, conv_col, text_col, order_col)
-    pairs = minhash_lsh_pairs(
-        conv_docs,
-        text_col="conv_text",
-        id_col="conv_id",
-        jaccard_threshold=jaccard_threshold,
-        **lsh_kwargs,
-    )
-    return pairs.select(
+    Plan shape: one conv_id groupBy (8-byte fingerprints, map-side
+    combined) -> JVM minhash signatures -> banded LSH bucket join
+    (~24 B/row) -> signature-estimate pre-filter -> exact verify via
+    array_intersect on the shingle arrays. Zero Python UDFs, zero text
+    shuffles, no per-pair re-shingling."""
+    sh = conversation_turn_shingles(df, conv_col, text_col, order_col, shingle_k)
+    return _shingle_neardup_pairs(
+        sh, jaccard_threshold, n_hashes, bands, est_margin
+    ).select(
         F.col("id_a").alias("conv_a"), F.col("id_b").alias("conv_b"), "jaccard"
+    )
+
+
+def _shingle_neardup_pairs(
+    sh: DataFrame,
+    jaccard_threshold: float,
+    n_hashes: int = 64,
+    bands: int = 16,
+    est_margin: float | None = 0.2,
+) -> DataFrame:
+    """(conv_id, shingles) -> verified (id_a, id_b, jaccard): the banded
+    LSH machinery over precomputed shingle-hash arrays, with the exact
+    verify as a JVM array_intersect (no text, no UDF)."""
+    with_sig = sh.select(
+        F.col("conv_id").alias("id"),
+        F.col("shingles"),
+        _seeded_minhash_sig("shingles", n_hashes).alias("sig"),
+    )
+    cand = _band_candidates(with_sig.select("id", "sig"), n_hashes, bands)
+    est_threshold = jaccard_threshold - (est_margin if est_margin is not None else 1.0)
+    if est_threshold > 0:
+        cand = _estimate_filter(cand, with_sig.select("id", "sig"), n_hashes, est_threshold)
+    feats = with_sig.select("id", "shingles")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))
+    return (
+        cand.join(feats.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(feats.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(inter / (na + nb - inter), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

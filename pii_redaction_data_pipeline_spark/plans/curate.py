@@ -53,8 +53,8 @@ from pii_redaction_data_pipeline_spark.operators.components import (
     connected_components,
 )
 from pii_redaction_data_pipeline_spark.operators.dedup import (
-    conversation_documents,
-    minhash_lsh_pairs,
+    _shingle_neardup_pairs,
+    conversation_turn_shingles,
 )
 from pii_redaction_data_pipeline_spark.operators.sampling import (
     deterministic_sample,
@@ -88,33 +88,33 @@ def dedup_survivor_convs(
 ) -> DataFrame:
     """Conversation-level near-dup dedup: -> (conv_id) survivors.
 
-    Concats raw turns of the verdict-surviving conversations, finds
-    near-dup pairs via MinHash-LSH, clusters them, and keeps exactly
-    one representative (the MINIMUM conv_id, string order) per cluster.
-    Conversations in no pair survive by definition.
+    Shingles the verdict-surviving conversations at TURN granularity
+    (k-grams of per-turn fingerprints — the transcript identity that
+    stays discriminative on boilerplate-heavy corpora, see
+    conversation_turn_shingles), finds near-dup pairs via banded
+    MinHash-LSH, clusters them, and keeps exactly one representative
+    (the MINIMUM conv_id, string order) per cluster. Conversations in
+    no pair survive by definition.
     """
     convs = transcripts.join(F.broadcast(kept_convs.select("conv_id")), "conv_id", "semi")
-    # materialize the two reused frames ONCE: the conv-doc aggregation
-    # feeds the LSH self-join (signatures twice, verify texts twice) and
-    # the pair list feeds four downstream consumers (id map, two key
-    # joins, the component rounds) — without the checkpoints Spark
-    # re-derives the whole scan+groupBy+UDF chain per consumer (~6x;
-    # profiled 73 s -> ~10 s at the 20k-turn bench scale). Executor-local
-    # checkpoint storage is the right trade at corpus scale too: one row
-    # per conversation, read four times.
+    # materialize the two reused frames ONCE: the shingle aggregation
+    # feeds the LSH self-join (signatures + the verify arrays) and the
+    # pair list feeds four downstream consumers (id map, two key joins,
+    # the component rounds) — without the checkpoints Spark re-derives
+    # the whole scan+groupBy chain per consumer (~6x; profiled 73 s ->
+    # ~10 s at the 20k-turn bench scale). Executor-local checkpoint
+    # storage is the right trade at corpus scale too: one small row per
+    # conversation, read several times.
     # explicit partition count: AQE coalesces the small groupBy output
-    # to ONE partition, which would serialize the signature UDF pass —
+    # to ONE partition, which would serialize the signature pass —
     # a user-specified repartition is exempt from advisory coalescing
     n_parts = transcripts.sparkSession.sparkContext.defaultParallelism * 2
-    docs = (
-        conversation_documents(convs)
+    sh = (
+        conversation_turn_shingles(convs)
         .repartition(n_parts, "conv_id")
         .localCheckpoint(eager=True)
     )
-    pairs = minhash_lsh_pairs(
-        docs, text_col="conv_text", id_col="conv_id",
-        jaccard_threshold=jaccard_threshold,
-    ).localCheckpoint(eager=True)
+    pairs = _shingle_neardup_pairs(sh, jaccard_threshold).localCheckpoint(eager=True)
     # numeric keys for the component step (no global row_number at
     # corpus scale); rep choice below is hash-independent
     ids = (
