@@ -99,17 +99,27 @@ def mix_corpora(
     sampled deterministically; a source smaller than its quota is taken
     whole (rate capped at 1.0 — document the shortfall, don't upsample).
 
-    The per-source `count()` is one partial-agg job each (count-only
-    scan, no shuffle of data rows); the union is a plan-level concat,
-    not a shuffle. Returns the blended frame with a `mix_source` tag.
+    All per-source sizes come from ONE Spark job (a union of count-only
+    aggregates — each branch is a partial-agg scan, and the branches
+    run concurrently as stages of the same job, instead of N serialized
+    driver-blocking count() jobs); the final union is a plan-level
+    concat, not a shuffle. Returns the blended frame with a
+    `mix_source` tag.
     """
     total_w = sum(w for _, w in sources.values())
     if total_w <= 0:
         raise ValueError(f"sum of mix weights must be > 0, got {total_w}")
+    counts_plan = None
+    for name, (df, _) in sorted(sources.items()):
+        c = df.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("s"), "n"
+        )
+        counts_plan = c if counts_plan is None else counts_plan.unionByName(c)
+    counts = {r.s: r.n for r in counts_plan.collect()}
     out = None
     for name, (df, w) in sorted(sources.items()):
         quota = budget_rows * w / total_w
-        n = df.count()
+        n = counts[name]
         rate = 1.0 if n == 0 else min(1.0, quota / n)
         part = deterministic_sample(df, rate, key_cols, seed).withColumn(
             "mix_source", F.lit(name)

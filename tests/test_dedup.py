@@ -161,3 +161,97 @@ def test_empty_and_null_text_signatures(spark):
     # never pair with real docs at any positive threshold
     assert minhash_lsh_pairs(docs, jaccard_threshold=0.5).count() <= 1
     assert simhash_pairs(docs, max_hamming=0).count() <= 1
+
+
+# --- conversation-level turn-granularity identity --------------------------
+
+
+def _conv_df(spark, convs: dict[str, list[str]]):
+    rows = [
+        (cid, i, t)
+        for cid, turns in convs.items()
+        for i, t in enumerate(turns)
+    ]
+    return spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+
+
+def test_conversation_turn_shingles_counts_and_fallback(spark):
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        conversation_turn_shingles,
+    )
+
+    df = _conv_df(
+        spark,
+        {
+            "long": [f"turn {i}" for i in range(10)],  # 8 distinct 3-grams
+            "short": ["a", "b"],  # < k -> one whole-sequence shingle
+            "rep": ["x", "x", "x", "x", "x"],  # 3 positions, 1 DISTINCT gram
+        },
+    )
+    out = {r.conv_id: r for r in conversation_turn_shingles(df).collect()}
+    assert len(out["long"].shingles) == 8 and out["long"].n_turns == 10
+    assert len(out["short"].shingles) == 1 and out["short"].n_turns == 2
+    assert len(out["rep"].shingles) == 1
+
+
+def test_seeded_minhash_components_are_independent(spark):
+    """Regression: a two-parameter lambda passed to F.transform() is
+    dispatched as the (element, index) binary form, which silently
+    replaced the minhash seed with the array index — every signature
+    component collapsed to the same value and the jaccard estimate for
+    any prefix-sharing pair read 0 or 1. Components must (a) differ from
+    each other within one signature and (b) agree between two similar
+    conversations at roughly the true jaccard rate."""
+    from pyspark.sql import functions as F
+
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        _seeded_minhash_sig,
+        conversation_turn_shingles,
+    )
+
+    base = [f"turn number {i}" for i in range(40)]
+    df = _conv_df(spark, {"orig": base, "clone": base[:-6]})
+    sh = conversation_turn_shingles(df)
+    rows = {
+        r.conv_id: r
+        for r in sh.select(
+            "conv_id", _seeded_minhash_sig("shingles", 64).alias("sig")
+        ).collect()
+    }
+    a, b = rows["orig"].sig, rows["clone"].sig
+    assert len(set(a)) > 32, "components within one signature must differ"
+    matches = sum(x == y for x, y in zip(a, b))
+    # true jaccard = 32/38 ~ 0.84; 64 components, stderr ~ 0.046 -> the
+    # match count must sit WELL inside (all-different, all-equal)
+    assert 40 <= matches < 64
+
+
+def test_turn_granularity_separates_boilerplate_heavy_convs(spark):
+    """The redesign's motivating case: conversations assembled from a
+    tiny shared sentence pool have word-3-gram jaccard high enough to
+    flood word-level LSH with candidates, but share no 3 consecutive
+    identical TURNS — turn-granular identity must return exactly the
+    planted clone pair and nothing else."""
+    import itertools
+
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        conversation_neardup_pairs,
+    )
+
+    pool = [f"stock sentence {i} about the same boilerplate topic" for i in range(6)]
+    # every turn ends in a unique step marker so turn fingerprints never
+    # collide (no accidental periodicity), while the word population
+    # stays almost entirely the shared stock phrasing
+    streams = {
+        f"conv{j}": [
+            pool[(i * (j + 2) + j) % 6] + " " + pool[(i + j) % 6] + f" step {j}-{i}"
+            for i in range(30)
+        ]
+        for j in range(6)
+    }
+    streams["conv0-dup"] = streams["conv0"][:-3]  # planted near-clone
+    pairs = conversation_neardup_pairs(
+        _conv_df(spark, streams), jaccard_threshold=0.6
+    ).collect()
+    assert {(p.conv_a, p.conv_b) for p in pairs} == {("conv0", "conv0-dup")}
+    assert pairs[0].jaccard == pytest.approx(25 / 28, abs=1e-6)
