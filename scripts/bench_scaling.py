@@ -183,7 +183,7 @@ def main():
                 else f"Requested scale `{requested_scale}`: NO usable runs — "
                 "the headline above comes from other scales.\n\n"
             )
-            "Per-scale summary (score = best pair's max(raw, capped "
+            + "Per-scale summary (score = best pair's max(raw, capped "
             "normalized)):\n\n"
             "| scale | attempts | best score | median score |\n"
             "|---|---|---|---|\n" + "\n".join(scale_rows) + "\n\n"
@@ -197,10 +197,12 @@ def main():
             "count and\nthis trade-off does not exist; we kept the faster "
             "pipeline.\n\n"
             "## All measurement attempts, every scale (4 -> 16 pair)\n\n"
-            "The `bench2x` (~4M-turn) attempts are the most representative:\n"
-            "the session-fixed ~7 s tail (planning/codegen/commit — absent at\n"
-            "10^12-turn scale) weighs half as much as at `bench`, so the raw\n"
-            "ratio converges toward what a long job on a real cluster sees.\n\n"
+            "The `bench4x` (~8M-turn) attempts are the most representative:\n"
+            "the session-fixed tail (planning/scheduling/commit — measured\n"
+            "directly at 2.1-3.6 s by scripts/profile_tail.py, absent at\n"
+            "10^12-turn scale) is ~1.4% of the local[4] wall there, so the\n"
+            "raw ratio converges toward what a long job on a real cluster\n"
+            "sees.\n\n"
             "| measured at | scale | raw | control | normalized | local[32] turns/s |\n"
             "|---|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
             "Raw JSON (best run):\n\n```json\n"
