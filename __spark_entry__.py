@@ -1532,7 +1532,7 @@ def _curate_full_oracle() -> str:
         f"    WHERE substr(sha256(conv_id || chr(31) || '5'), 1, 8) < '{thresh}'),\n"
         "curated AS (\n"
         "    SELECT l.conv_id, l.turn_idx, l.scrubbed_text,\n"
-        "           l.conv_id || '#' || lpad(CAST(l.turn_idx AS VARCHAR), 6, '0') AS pack_key\n"
+        "           l.conv_id || '#' || lpad(CAST(l.turn_idx AS VARCHAR), 12, '0') AS pack_key\n"
         "    FROM labels l JOIN sampled s ON s.conv_id = l.conv_id WHERE l.keep),\n"
         "placed AS (\n"
         "    SELECT conv_id, turn_idx, pack_key,\n"
@@ -1617,11 +1617,11 @@ def q_curate_full(spark, sf_dir):
     sampled = deterministic_sample(surv, 0.85, ["conv_id"], seed=5)
     curated = (
         ann.filter("keep")
-        .join(F.broadcast(sampled), "conv_id", "semi")
+        .join(sampled, "conv_id", "semi")
         .withColumn(
             "pack_key",
             F.concat_ws(
-                "#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 6, "0")
+                "#", "conv_id", F.format_string("%012d", F.col("turn_idx"))
             ),
         )
     )

@@ -62,6 +62,21 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def png_dims(buf: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR chunk alone — a 24-byte header
+    parse, no zlib inflate, no scanline defiltering. Metadata passes
+    over large-PNG corpora must use this, not decode_png: full pixel
+    reconstruction costs O(h*w) pure Python per image just to read two
+    ints that sit at fixed offsets (IHDR is required to be the first
+    chunk, PNG spec 5.6)."""
+    if buf[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    if len(buf) < 24 or buf[12:16] != b"IHDR":
+        raise ValueError("truncated PNG (no IHDR)")
+    w, h = struct.unpack(">II", buf[16:24])
+    return int(w), int(h)
+
+
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
     pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)

@@ -201,25 +201,28 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 1234,
-    est_margin: float | None = 0.2,
+    est_margin: float | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, verified with
     exact shingle jaccard. Returns (id_a, id_b, jaccard) with id_a<id_b.
 
-    est_margin adds a SIGNATURE-ESTIMATE pre-filter between banding and
-    the exact verify: the matching-component fraction of two minhash
-    signatures is an unbiased jaccard estimator (stderr
-    sqrt(j(1-j)/n_hashes) ~ 0.06 at n=64), so candidates estimating
-    below jaccard_threshold - est_margin are discarded from a pure-JVM
-    array comparison BEFORE any text is joined or re-shingled. On a
-    boilerplate-heavy corpus the band join emits O(corpus) mid-
-    similarity candidates (profiled: 2,000 synthetic 940-turn
-    conversations -> 411k candidates = 20% of all pairs) and the exact
-    verify — O(candidate x doc bytes) — becomes the bottleneck; the
-    estimate kills that mass for ~24 B x n_hashes per row. A margin of
-    0.2 (> 3 stderr) makes the recall loss for a TRUE >= threshold pair
-    < 0.1%; thresholds <= est_margin disable the filter automatically
-    (estimate >= 0 always). None disables it explicitly."""
+    est_margin (OPT-IN — the default None keeps the original contract:
+    every band-join candidate is exact-verified) adds a SIGNATURE-
+    ESTIMATE pre-filter between banding and the exact verify: the
+    matching-component fraction of two minhash signatures is an
+    unbiased jaccard estimator (stderr sqrt(j(1-j)/n_hashes) ~ 0.06 at
+    n=64), so candidates estimating below jaccard_threshold -
+    est_margin are discarded from a pure-JVM array comparison BEFORE
+    any text is joined or re-shingled. On a boilerplate-heavy corpus
+    the band join emits O(corpus) mid-similarity candidates (profiled:
+    2,000 synthetic 940-turn conversations -> 411k candidates = 20% of
+    all pairs) and the exact verify — O(candidate x doc bytes) —
+    becomes the bottleneck; the estimate kills that mass for ~24 B x
+    n_hashes per row. A margin of 0.2 (> 3 stderr) bounds the recall
+    loss for a TRUE >= threshold pair below ~1e-3 per pair; opting in
+    trades that quantified loss for not shipping text to doomed
+    candidates. Thresholds <= est_margin disable the filter
+    automatically (estimate >= 0 always)."""
     sig = make_minhash_udf(n_hashes, shingle_k, seed)
     with_sig = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
     cand = _band_candidates(with_sig, n_hashes, bands)
@@ -402,9 +405,11 @@ def _shingle_neardup_pairs(
     return (
         cand.join(feats.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(feats.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(inter / (na + nb - inter), 6))
+        .withColumn("jaccard", inter / (na + nb - inter))
+        # threshold on the UNROUNDED value (matches minhash_lsh_pairs
+        # and the DuckDB oracle's WHERE); round only for the output
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

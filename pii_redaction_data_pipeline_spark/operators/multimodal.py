@@ -40,12 +40,15 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _decode_one(buf: bytes) -> tuple[int, int, str]:
     from pii_redaction_data_pipeline_spark.functions.png_codec import (
         PNG_MAGIC,
-        decode_png,
+        png_dims,
     )
 
-    if buf[:8] == PNG_MAGIC:  # real decode, dependency-free
+    if buf[:8] == PNG_MAGIC:  # real header parse, dependency-free:
+        # dims come from the fixed-offset IHDR chunk — a metadata pass
+        # must never pay the O(h*w) full pixel reconstruction just to
+        # read two ints (decode_png is for when pixels are needed)
         try:
-            w, h, _px = decode_png(buf)
+            w, h = png_dims(buf)
             return w, h, "png"
         except Exception:
             pass  # malformed PNG falls through to Pillow/stub
@@ -119,13 +122,21 @@ def resize_images(
             rows = []
             for did, buf in zip(pdf[id_col], pdf["media"]):
                 b = bytes(buf) if buf is not None else b""
-                w, h, _codec = _decode_one(b)
+                px = None
+                if b[:8] == PNG_MAGIC:
+                    # decode ONCE: dims and pixels come from the same
+                    # pass (the resample needs the pixels anyway)
+                    try:
+                        w, h, px = decode_png(b)
+                    except Exception:
+                        px = None
+                if px is None:
+                    w, h, _codec = _decode_one(b)
                 scale = min(max_side / max(w, 1), max_side / max(h, 1), 1.0)
                 ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
                 resized = None
-                if b[:8] == PNG_MAGIC:
+                if px is not None:
                     try:
-                        _, _, px = decode_png(b)
                         resized = encode_png(resize_nearest(px, ow, oh))
                     except Exception:
                         resized = None

@@ -31,7 +31,9 @@ idempotently.
 
 Scale notes: every cross-stage handoff is a parquet table, so each
 stage starts from a pruned scan (the conv-id lists are single-column
-tables that broadcast in the semi-joins); the only corpus-wide work is
+tables; AQE broadcasts the semi-joins whenever a list actually fits —
+no forced hints, since at 10^9 conversations they don't); the only
+corpus-wide work is
 annotate's one conv_id shuffle and pack's placement window. The
 conversation id -> numeric key mapping for the component step uses
 xxhash64 (no global row_number at 10^9 conversations); representatives
@@ -96,7 +98,11 @@ def dedup_survivor_convs(
     (the MINIMUM conv_id, string order) per cluster. Conversations in
     no pair survive by definition.
     """
-    convs = transcripts.join(F.broadcast(kept_convs.select("conv_id")), "conv_id", "semi")
+    # no forced broadcast: these conv-id lists are ~rows-of-the-corpus at
+    # 10^9-conversation scale (far past the 8 GB broadcast limit); AQE
+    # converts the join to broadcast at runtime whenever the list is
+    # actually small, which is the right call at every scale
+    convs = transcripts.join(kept_convs.select("conv_id"), "conv_id", "semi")
     # materialize the two reused frames ONCE: the shingle aggregation
     # feeds the LSH self-join (signatures + the verify arrays) and the
     # pair list feeds four downstream consumers (id map, two key joins,
@@ -136,9 +142,7 @@ def dedup_survivor_convs(
         .filter(F.col("conv_id") != F.col("rep_conv"))
         .select("conv_id")
     )
-    return kept_convs.select("conv_id").join(
-        F.broadcast(dropped), "conv_id", "anti"
-    )
+    return kept_convs.select("conv_id").join(dropped, "conv_id", "anti")
 
 
 def run_curation(
@@ -233,8 +237,12 @@ def run_curation(
             .select("conv_id")
         )
         # raw transcripts for the content identity (normalization-free:
-        # the same bytes a re-uploaded batch would carry)
-        tr = spark.read.parquet(input_path)
+        # the same bytes a re-uploaded batch would carry); read through
+        # TableIO so an Iceberg input works here exactly as it does for
+        # the annotate stage (run_pipeline uses io.read on the same path)
+        from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+
+        tr = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
         surv = dedup_survivor_convs(tr, kept, ccfg.dedup_jaccard)
         surv.write.mode("overwrite").parquet(paths["survivor_convs"])
         mark("conv_dedup", spark.read.parquet(paths["survivor_convs"]).count())
@@ -256,10 +264,10 @@ def run_curation(
         curated = (
             annotated()
             .filter("keep")
-            .join(F.broadcast(sampled), "conv_id", "semi")
+            .join(sampled, "conv_id", "semi")
             .withColumn(
                 "pack_key",
-                F.concat_ws("#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 6, "0")),
+                F.concat_ws("#", "conv_id", F.format_string("%012d", F.col("turn_idx"))),
             )
         )
         packed = pack_sequences(

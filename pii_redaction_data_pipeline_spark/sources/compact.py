@@ -11,11 +11,12 @@ same rows, better layout.
 
 Mechanics: size the target file count from the actual on-disk bytes
 (ceil(total / target_bytes)), rewrite with `repartition(n)` (round-robin
-— even output sizes, no key skew; with `partition_cols` the repartition
-keys on the partition columns instead, so each partition directory
-compacts to few files rather than every task spraying a file into every
-directory), write to a staging dir, then swap via two FileSystem
-renames. Each rename is atomic on HDFS/local rename semantics, but the
+— even output sizes, no key skew; with `partition_cols` each partition
+DIRECTORY is sized independently from the listing and the repartition
+keys on (partition_cols, salt) with ceil(bytes_p / target) salt groups
+per value — a hot partition still splits into target-sized files, and
+no task sprays a file into every directory), write to a staging dir,
+then swap via two FileSystem renames. Each rename is atomic on HDFS/local rename semantics, but the
 WINDOW BETWEEN THE TWO is not: a reader that lists the live path in
 that instant sees no directory. Preconditions (enforced/documented):
 no concurrent readers or writers of `path` during the swap — this is a
@@ -34,6 +35,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -57,6 +59,33 @@ def dir_stats(spark: SparkSession, path: str) -> dict:
         n_files += 1
         total += st.getLen()
     return {"n_files": n_files, "total_bytes": total}
+
+
+def _partition_sizes(
+    spark: SparkSession, path: str, partition_cols: list[str]
+) -> dict[tuple, int]:
+    """total bytes per partition-value tuple, from the file listing
+    (driver-side metadata walk — no data scan). Values come back as the
+    raw `col=value` path segments (Hive string form), so callers join
+    them against the data columns CAST TO STRING; exotic values needing
+    Hive path escaping (spaces, slashes) are out of scope for the
+    parquet fallback — the online path is Iceberg rewrite_data_files."""
+    _, fs, hpath = _fs(spark, path)
+    sizes: dict[tuple, int] = {}
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        segs = dict(
+            seg.split("=", 1)
+            for seg in str(st.getPath().toUri().getPath()).split("/")
+            if "=" in seg
+        )
+        key = tuple(segs.get(c) for c in partition_cols)
+        sizes[key] = sizes.get(key, 0) + st.getLen()
+    return sizes
 
 
 def plan_compaction(
@@ -107,13 +136,43 @@ def compact_parquet(
 
     try:
         if partition_cols:
-            # key the rewrite on the partition columns so a task holds
-            # rows of one partition value: partitionBy then emits one
-            # file per partition directory (bounded by the bucket layout
-            # sizing), not the round-robin target_files x n_partitions
-            # spray a plain repartition(n) would produce
+            # Size each partition DIRECTORY independently from the file
+            # listing (no data scan): partition value p gets
+            # ceil(bytes_p / target_bytes) salt groups, and the rewrite
+            # repartitions on (partition_cols..., salt). Keying on the
+            # partition columns alone would collapse a hot partition to
+            # ONE task and one arbitrarily large file (target_bytes
+            # ignored exactly where it matters); plain round-robin
+            # repartition(n) sprays every task into every directory
+            # (n x n_partitions files). Hash collisions of two salt
+            # groups into one task only merge files (soft overshoot of
+            # target_bytes), never split or misplace them.
+            psizes = _partition_sizes(spark, path, partition_cols)
+            per_part = [
+                tuple(k) + (max(1, math.ceil(b / target_bytes)),)
+                for k, b in sorted(psizes.items())
+            ]
+            str_cols = [f"__pc_{c}" for c in partition_cols]
+            sizes_df = spark.createDataFrame(
+                per_part, str_cols + ["__n_files"]
+            )
+            cond = [
+                df[c].cast("string") == sizes_df[s]
+                for c, s in zip(partition_cols, str_cols)
+            ]
+            salted = (
+                df.join(F.broadcast(sizes_df), cond, "left")
+                .withColumn(
+                    "__salt",
+                    (F.rand(42) * F.coalesce(F.col("__n_files"), F.lit(1)))
+                    .cast("int"),
+                )
+                .drop(*str_cols, "__n_files")
+            )
+            n_tasks = max(sum(n for *_, n in per_part), 1)
             writer = (
-                df.repartition(plan["target_files"], *partition_cols)
+                salted.repartition(n_tasks, *partition_cols, F.col("__salt"))
+                .drop("__salt")
                 .write.mode("overwrite")
                 .partitionBy(*partition_cols)
             )

@@ -12,10 +12,9 @@ from the two points — the small-input wall is almost pure tail, and the
 difference gives the data-proportional rate. Run at two parallelism
 levels to show which part of the tail is parallelism-independent.
 
-Ablations (--ablate): re-measure the small-input wall with
-  aqe_off      spark.sql.adaptive.enabled=false for the session
-  plain_write  noop sink instead of the bucketed parquet write
-to attribute the tail between AQE stage planning and the write/commit.
+Ablation (--ablate): re-measure at local[8] with
+spark.sql.adaptive.enabled=false, attributing the AQE-stage-planning
+share of the tail.
 
 Usage: python scripts/profile_tail.py [cores ...]  (default: 8 32)
 """

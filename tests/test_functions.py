@@ -1,7 +1,10 @@
 """langid / perplexity / quality-heuristic unit tests (pandas level)."""
 
+import os
+
 import numpy as np
 import pandas as pd
+import pytest
 
 from pii_redaction_data_pipeline_spark.config import PipelineConfig
 from pii_redaction_data_pipeline_spark.datagen import (
@@ -342,8 +345,9 @@ def test_independent_kn_table_matches_production():
         default_model,
     )
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "spark_entry_kn", "/root/repo/__spark_entry__.py"
+        "spark_entry_kn", os.path.join(repo, "__spark_entry__.py")
     )
     se = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(se)
@@ -356,8 +360,11 @@ def test_independent_kn_table_matches_production():
     import duckdb
     import pandas as pd
 
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(docs):
+        pytest.skip("driver testdata tree not present")
     texts = duckdb.sql(
-        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet') ORDER BY doc_id"
+        f"SELECT text FROM read_parquet('{docs}') ORDER BY doc_id"
     ).df()["text"].tolist()
     ind = se._independent_ppl(texts)
     prod_ppl = default_model().ppl_series(pd.Series(texts)).tolist()
