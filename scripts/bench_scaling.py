@@ -127,8 +127,15 @@ def main():
     scale_rows = []
     for sc in sorted({h.get("scale") for h in all_history}):
         ss = sorted(_score(h) for h in all_history if h.get("scale") == sc)
+        rr = sorted(
+            h["efficiency_4_to_16"]
+            for h in all_history
+            if h.get("scale") == sc and h.get("efficiency_4_to_16") is not None
+        )
+        med_raw = f"{rr[(len(rr) - 1) // 2]:.3f}" if rr else "—"
         scale_rows.append(
-            f"| {sc} | {len(ss)} | {max(ss):.3f} | {ss[(len(ss) - 1) // 2]:.3f} |"
+            f"| {sc} | {len(ss)} | {max(ss):.3f} | {ss[(len(ss) - 1) // 2]:.3f} | "
+            f"{med_raw} |"
         )
     hist_rows = [
         f"| {h.get('measured_at')} | {h.get('scale')} | "
@@ -184,9 +191,11 @@ def main():
                 "the headline above comes from other scales.\n\n"
             )
             + "Per-scale summary (score = best pair's max(raw, capped "
-            "normalized)):\n\n"
-            "| scale | attempts | best score | median score |\n"
-            "|---|---|---|---|\n" + "\n".join(scale_rows) + "\n\n"
+            "normalized); median raw = lower-median RAW 4 -> 16\n"
+            "efficiency across every retained attempt at that scale — no\n"
+            "normalization, no best-of selection):\n\n"
+            "| scale | attempts | best score | median score | median raw 4->16 |\n"
+            "|---|---|---|---|---|\n" + "\n".join(scale_rows) + "\n\n"
             "Round-2 context for the attempt history: the round-2 pipeline "
             "is ~2x faster\nin its Python stages than round 1's, which "
             "SHRINKS the perfectly-parallel\nfraction of the job — on this "
