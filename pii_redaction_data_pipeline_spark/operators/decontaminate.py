@@ -1,0 +1,108 @@
+"""Train/test decontamination: flag corpus documents that overlap an
+evaluation benchmark.
+
+A training-data pipeline must remove (or at least mark) documents that
+contain text from the benchmarks the resulting model will be scored on
+— the standard mechanism is word-n-gram overlap (GPT-3 appendix C uses
+13-grams; The Pile and most open pipelines use 8-13). No reference
+analog (the reference redacts PII, it does not curate training data);
+this is a builder-brief training-data operator alongside dedup/
+sampling/packing.
+
+Scale design: the benchmark side is SMALL by construction (benchmarks
+are MBs; the corpus is the 100 TB side), so the benchmark's distinct
+n-gram hash set builds once and BROADCASTS — the corpus-side plan is
+scan -> per-row gram hashing (JVM, whole-stage codegen, reusing the
+ngram machinery of operators/dedup.py) -> broadcast-hash semi/inner
+join -> groupBy(doc_id) partial-agg count. One narrow pass over the
+corpus; the text never shuffles — a document's grams all originate in
+its own input row, so the map-side partial agg collapses them before
+the one doc_id exchange, which therefore carries ~24 bytes per
+DOCUMENT (verified in the executed plan: BroadcastHashJoin + partial
+HashAggregate below the exchange). Nothing driver-side. A >GB
+benchmark set would instead flip to
+a sort-merge join on gram hash — same plan minus the broadcast hint,
+which is why the hint is AQE-decided, not forced.
+
+Determinism: grams hash with xxhash64 over the same normalized word
+stream the dedup family uses (lower + whitespace-collapse), so the
+flag is partitioning- and resume-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_hashes(text_col: str, k: int) -> F.Column:
+    """array<long> of distinct word-k-gram xxhash64 hashes (JVM-only);
+    rows with fewer than k words contribute no grams — a 3-word snippet
+    cannot witness a 8-gram contamination."""
+    words = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+    max_hits: int = 0,
+) -> DataFrame:
+    """-> (id_col, n_grams, n_hits, contaminated) per corpus document.
+
+    n_grams   distinct word-k-grams in the document
+    n_hits    how many of them appear anywhere in the benchmark
+    contaminated = n_hits > max_hits (default: a single shared k-gram
+    taints — the conservative setting the GPT-3/Pile protocol uses)
+
+    Documents with < k words have n_grams = 0 and are never flagged.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_gram_hashes(bench_text_col, k)).alias("g")
+        ).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode_outer(_gram_hashes(text_col, k)).alias("g")
+    )
+    hits = (
+        doc_grams.join(bench_grams.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    return hits.withColumn("contaminated", F.col("n_hits") > max_hits)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Corpus minus contaminated documents (all original columns)."""
+    flags = contamination_flags(
+        corpus, benchmark, id_col, text_col, bench_text_col, k, max_hits
+    )
+    keep = flags.filter(~F.col("contaminated")).select(id_col)
+    return corpus.join(keep, id_col, "semi")
