@@ -1,6 +1,7 @@
-"""Minimal pure-stdlib PNG codec (zlib + struct + numpy) so the
+"""Minimal pure-stdlib image codecs (zlib + struct + numpy) so the
 multimodal operators exercise a REAL decode/resize path in containers
-without Pillow/ffmpeg.
+without Pillow/ffmpeg: a PNG decode/resample/encode round-trip plus a
+JPEG SOF-marker dimension parse (jpeg_dims) for metadata passes.
 
 Supports the subset a training-data pipeline actually meets in its own
 artifacts: 8-bit RGB / RGBA / greyscale, non-interlaced, any of the
@@ -37,15 +38,15 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w) greyscale, (h, w, 3) RGB, or (h, w, 4) RGBA uint8 -> PNG."""
+    """(h, w) / (h, w, 1) greyscale, (h, w, 2) grey+alpha, (h, w, 3) RGB,
+    or (h, w, 4) RGBA uint8 -> PNG. Accepts every shape decode_png can
+    return so decode -> transform -> encode round-trips for all four
+    supported color types."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
-        color_type = 0
         px = px[:, :, None]
-    elif px.ndim == 3 and px.shape[2] == 3:
-        color_type = 2
-    elif px.ndim == 3 and px.shape[2] == 4:
-        color_type = 6
+    if px.ndim == 3 and px.shape[2] in (1, 2, 3, 4):
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[px.shape[2]]
     else:
         raise ValueError(f"unsupported pixel shape {px.shape}")
     h, w = px.shape[:2]
@@ -77,6 +78,50 @@ def png_dims(buf: bytes) -> tuple[int, int]:
     return int(w), int(h)
 
 
+JPEG_MAGIC = b"\xff\xd8"
+
+# SOF markers carry frame dimensions; 0xC4 (DHT), 0xC8 (JPG ext),
+# 0xCC (DAC) share the 0xC0-0xCF range but are not frames (ITU T.81 B.1)
+_JPEG_NON_SOF = frozenset({0xC4, 0xC8, 0xCC})
+_JPEG_STANDALONE = frozenset({0x01, 0xD8}) | frozenset(range(0xD0, 0xD8))
+
+
+def jpeg_dims(buf: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOF0-SOF15 marker — a segment-walk
+    over the JPEG marker stream (ITU T.81, public), no entropy decode.
+    The JPEG analog of png_dims: metadata passes read two ints, they do
+    not reconstruct pixels."""
+    if buf[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("malformed JPEG (lost marker sync)")
+        # 0xFF fill bytes may pad between segments (T.81 B.1.1.2)
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        marker = buf[pos + 1]
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise ValueError("malformed JPEG (segment length < 2)")
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if pos + 9 > len(buf):
+                raise ValueError("truncated JPEG SOF")
+            h, w = struct.unpack(">HH", buf[pos + 5 : pos + 9])
+            return int(w), int(h)
+        if marker == 0xDA:  # SOS: entropy-coded data follows, SOF must precede it
+            break
+        pos += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
     pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
@@ -105,6 +150,10 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("interlaced PNG unsupported")
             ch = _CHANNELS[color_type]
         elif ctype == b"IDAT":
+            if width is None:
+                # keep the malformed-input contract uniform (ValueError,
+                # never NameError): IHDR must be the first chunk (PNG 5.6)
+                raise ValueError("malformed PNG: IDAT before IHDR")
             idat.append(data)
         elif ctype == b"IEND":
             break

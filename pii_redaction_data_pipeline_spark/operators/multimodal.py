@@ -39,7 +39,9 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _decode_one(buf: bytes) -> tuple[int, int, str]:
     from pii_redaction_data_pipeline_spark.functions.png_codec import (
+        JPEG_MAGIC,
         PNG_MAGIC,
+        jpeg_dims,
         png_dims,
     )
 
@@ -52,6 +54,14 @@ def _decode_one(buf: bytes) -> tuple[int, int, str]:
             return w, h, "png"
         except Exception:
             pass  # malformed PNG falls through to Pillow/stub
+    if buf[:2] == JPEG_MAGIC:  # real SOF-marker scan, dependency-free
+        # (the reference accepts jpg/jpeg uploads:
+        # frontend/src/pages/ProcessDocs/index.jsx:130-133)
+        try:
+            w, h = jpeg_dims(buf)
+            return w, h, "jpeg"
+        except Exception:
+            pass  # malformed JPEG falls through to Pillow/stub
     try:  # Pillow for non-PNG formats, when available
         import io
 

@@ -77,6 +77,12 @@ class CurationConfig:
     min_kept_frac: float = 0.5
     min_kept_turns: int = 1
     dedup_jaccard: float = 0.6
+    # signature-estimate pre-filter margin for the near-dup stage; None
+    # disables it (every band-join candidate exact-verified — parity
+    # with minhash_lsh_pairs' opt-in contract). The default 0.2 trades
+    # a quantified ~1e-4 per-pair recall loss just above threshold for
+    # not joining shingle arrays to doomed candidates (dedup.py:162).
+    dedup_est_margin: float | None = 0.2
     sample_rate: float = 0.85
     sample_seed: int = 5
     seq_tokens: int = 256
@@ -87,6 +93,8 @@ def dedup_survivor_convs(
     transcripts: DataFrame,
     kept_convs: DataFrame,
     jaccard_threshold: float = 0.6,
+    est_margin: float | None = 0.2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Conversation-level near-dup dedup: -> (conv_id) survivors.
 
@@ -97,6 +105,17 @@ def dedup_survivor_convs(
     MinHash-LSH, clusters them, and keeps exactly one representative
     (the MINIMUM conv_id, string order) per cluster. Conversations in
     no pair survive by definition.
+
+    est_margin: the signature-estimate pre-filter margin (see
+    minhash_lsh_pairs); pass None to exact-verify every band candidate.
+
+    checkpoint_dir: when given, the reused shingle/pair frames are
+    persisted as parquet UNDER THIS DIRECTORY instead of via
+    localCheckpoint. localCheckpoint stores blocks on executor local
+    disk — lose an executor mid-stage and the lineage-truncated frame
+    is unrecoverable, failing the job; a parquet spill to the (shared)
+    work dir survives executor loss at the cost of one write+read per
+    frame. Single-JVM callers (tests, bench) keep the default None.
     """
     # no forced broadcast: these conv-id lists are ~rows-of-the-corpus at
     # 10^9-conversation scale (far past the 8 GB broadcast limit); AQE
@@ -115,12 +134,22 @@ def dedup_survivor_convs(
     # to ONE partition, which would serialize the signature pass —
     # a user-specified repartition is exempt from advisory coalescing
     n_parts = transcripts.sparkSession.sparkContext.defaultParallelism * 2
-    sh = (
-        conversation_turn_shingles(convs)
-        .repartition(n_parts, "conv_id")
-        .localCheckpoint(eager=True)
+
+    def materialize(frame: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return frame.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir.rstrip('/')}/{name}"
+        frame.write.mode("overwrite").parquet(path)
+        return frame.sparkSession.read.parquet(path)
+
+    sh = materialize(
+        conversation_turn_shingles(convs).repartition(n_parts, "conv_id"),
+        "dedup_shingles",
     )
-    pairs = _shingle_neardup_pairs(sh, jaccard_threshold).localCheckpoint(eager=True)
+    pairs = materialize(
+        _shingle_neardup_pairs(sh, jaccard_threshold, est_margin=est_margin),
+        "dedup_pairs",
+    )
     # numeric keys for the component step (no global row_number at
     # corpus scale); rep choice below is hash-independent
     ids = (
@@ -201,6 +230,21 @@ def run_curation(
         if fail_after_stage == stage:
             raise RuntimeError(f"injected failure after stage {stage}")
 
+    def write_counted(frame: DataFrame, path: str) -> int:
+        """Overwrite `frame` to parquet and return its row count from an
+        Observation riding ALONG the write job — no post-write re-read
+        (round-3 VERDICT: the four per-stage `.count()` re-reads were
+        one extra scan each; at 100 TB the annotate/pack ones are real
+        money). Same pattern as run_pipeline's run totals
+        (plans/pipeline.py:382-391)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        frame.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return int(obs.get["n"])
+
     done = done_stages()
     ran: list[str] = []
 
@@ -213,70 +257,76 @@ def run_curation(
         mark("annotate", cfg.n_buckets)
         ran.append("annotate")
 
-    def annotated() -> DataFrame:
-        out = spark.read.parquet(paths["annotated"])
-        return out.filter(F.col("run_id") == run_id)
+    # one cached frame shared by stages 2 and 5 (both consume the full
+    # annotated table; caching saves the second parquet scan+filter).
+    # MEMORY_AND_DISK by default, unpersisted before returning.
+    annotated = spark.read.parquet(paths["annotated"]).filter(
+        F.col("run_id") == run_id
+    )
+    cache_annotated = {"conv_verdict", "pack"} - done
+    if len(cache_annotated) == 2:
+        annotated = annotated.cache()
 
-    # --- stage 2: conversation verdict rollup ---
-    if "conv_verdict" not in done:
-        cv = conversation_verdict(
-            annotated(), min_kept_frac=ccfg.min_kept_frac,
-            min_kept_turns=ccfg.min_kept_turns,
-        )
-        cv.write.mode("overwrite").parquet(paths["conv_verdict"])
-        # count the WRITTEN table: counting the lazy frame would re-run
-        # the whole stage computation a second time
-        mark("conv_verdict", spark.read.parquet(paths["conv_verdict"]).count())
-        ran.append("conv_verdict")
-
-    # --- stage 3: conversation near-dup dedup ---
-    if "conv_dedup" not in done:
-        kept = (
-            spark.read.parquet(paths["conv_verdict"])
-            .filter("conv_keep")
-            .select("conv_id")
-        )
-        # raw transcripts for the content identity (normalization-free:
-        # the same bytes a re-uploaded batch would carry); read through
-        # TableIO so an Iceberg input works here exactly as it does for
-        # the annotate stage (run_pipeline uses io.read on the same path)
-        from pii_redaction_data_pipeline_spark.sources.tables import TableIO
-
-        tr = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
-        surv = dedup_survivor_convs(tr, kept, ccfg.dedup_jaccard)
-        surv.write.mode("overwrite").parquet(paths["survivor_convs"])
-        mark("conv_dedup", spark.read.parquet(paths["survivor_convs"]).count())
-        ran.append("conv_dedup")
-
-    # --- stage 4: deterministic downsample ---
-    if "sample" not in done:
-        surv = spark.read.parquet(paths["survivor_convs"])
-        sampled = deterministic_sample(
-            surv, ccfg.sample_rate, ["conv_id"], seed=ccfg.sample_seed
-        )
-        sampled.write.mode("overwrite").parquet(paths["sampled_convs"])
-        mark("sample", spark.read.parquet(paths["sampled_convs"]).count())
-        ran.append("sample")
-
-    # --- stage 5: sequence packing of the curated turns ---
-    if "pack" not in done:
-        sampled = spark.read.parquet(paths["sampled_convs"])
-        curated = (
-            annotated()
-            .filter("keep")
-            .join(sampled, "conv_id", "semi")
-            .withColumn(
-                "pack_key",
-                F.concat_ws("#", "conv_id", F.format_string("%012d", F.col("turn_idx"))),
+    try:
+        # --- stage 2: conversation verdict rollup ---
+        if "conv_verdict" not in done:
+            cv = conversation_verdict(
+                annotated, min_kept_frac=ccfg.min_kept_frac,
+                min_kept_turns=ccfg.min_kept_turns,
             )
-        )
-        packed = pack_sequences(
-            curated, seq_tokens=ccfg.seq_tokens, n_buckets=ccfg.pack_buckets,
-            id_col="pack_key", text_col="scrubbed_text",
-        )
-        packed.write.mode("overwrite").parquet(paths["packed"])
-        mark("pack", spark.read.parquet(paths["packed"]).count())
-        ran.append("pack")
+            mark("conv_verdict", write_counted(cv, paths["conv_verdict"]))
+            ran.append("conv_verdict")
+
+        # --- stage 3: conversation near-dup dedup ---
+        if "conv_dedup" not in done:
+            kept = (
+                spark.read.parquet(paths["conv_verdict"])
+                .filter("conv_keep")
+                .select("conv_id")
+            )
+            # raw transcripts for the content identity (normalization-free:
+            # the same bytes a re-uploaded batch would carry); read through
+            # TableIO so an Iceberg input works here exactly as it does for
+            # the annotate stage (run_pipeline uses io.read on the same path)
+            from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+
+            tr = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
+            surv = dedup_survivor_convs(
+                tr, kept, ccfg.dedup_jaccard, est_margin=ccfg.dedup_est_margin,
+            )
+            mark("conv_dedup", write_counted(surv, paths["survivor_convs"]))
+            ran.append("conv_dedup")
+
+        # --- stage 4: deterministic downsample ---
+        if "sample" not in done:
+            surv = spark.read.parquet(paths["survivor_convs"])
+            sampled = deterministic_sample(
+                surv, ccfg.sample_rate, ["conv_id"], seed=ccfg.sample_seed
+            )
+            mark("sample", write_counted(sampled, paths["sampled_convs"]))
+            ran.append("sample")
+
+        # --- stage 5: sequence packing of the curated turns ---
+        if "pack" not in done:
+            sampled = spark.read.parquet(paths["sampled_convs"])
+            curated = (
+                annotated
+                .filter("keep")
+                .join(sampled, "conv_id", "semi")
+                .withColumn(
+                    "pack_key",
+                    F.concat_ws("#", "conv_id", F.format_string("%012d", F.col("turn_idx"))),
+                )
+            )
+            packed = pack_sequences(
+                curated, seq_tokens=ccfg.seq_tokens, n_buckets=ccfg.pack_buckets,
+                id_col="pack_key", text_col="scrubbed_text",
+            )
+            mark("pack", write_counted(packed, paths["packed"]))
+            ran.append("pack")
+    finally:
+        if len(cache_annotated) == 2:
+            annotated.unpersist()
 
     summary = {
         "run_id": run_id,

@@ -85,6 +85,23 @@ def _partition_sizes(
         )
         key = tuple(segs.get(c) for c in partition_cols)
         sizes[key] = sizes.get(key, 0) + st.getLen()
+    # a partition_col that never appeared as a `col=value` path segment
+    # means the directory is not Hive-partitioned by it; failing here
+    # with the column named beats the opaque all-None schema-inference
+    # error createDataFrame would raise downstream (round-3 ADVICE)
+    missing = [
+        c
+        for i, c in enumerate(partition_cols)
+        if all(k[i] is None for k in sizes)
+    ]
+    if missing and sizes:
+        raise ValueError(
+            f"partition column(s) {missing} not found in the directory "
+            f"layout of {path}: expected Hive-style 'col=value' path "
+            "segments; is this table actually partitioned by them?"
+        )
+    if not sizes:
+        raise ValueError(f"no data files found under {path}")
     return sizes
 
 

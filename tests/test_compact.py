@@ -102,3 +102,20 @@ def test_crashed_staging_dir_is_cleaned(spark, tmp_path):
     out = compact_parquet(spark, p, target_bytes=1 << 30)
     assert out["rows"] == 100 and out["n_files_after"] == 1
     assert not os.path.exists(stale)
+
+
+def test_partitioned_compact_rejects_unpartitioned_dir(spark, tmp_path):
+    """Passing partition_cols for a directory that is not Hive-partitioned
+    by them must raise a clear ValueError naming the columns, not an
+    opaque schema-inference error (round-3 ADVICE)."""
+    import pytest
+
+    from pii_redaction_data_pipeline_spark.sources.compact import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "flat")
+    spark.range(100).withColumn("part", (F.col("id") % 3).cast("string")) \
+        .write.parquet(path)  # NOT partitionBy("part")
+    with pytest.raises(ValueError, match="part"):
+        compact_parquet(spark, path, partition_cols=["part"])

@@ -105,3 +105,48 @@ def test_curate_full_query_matches_oracle(spark):
     assert list(sdf.columns) == list(ddf.columns)
     for c in sdf.columns:
         assert (sdf[c].astype(object) == ddf[c].astype(object)).all(), c
+
+
+def test_reliable_checkpoint_dir_matches_local(spark, tinydup_path, tmp_path):
+    """dedup_survivor_convs(checkpoint_dir=...) spills the reused
+    shingle/pair frames to parquet in the work dir instead of
+    localCheckpoint (executor-local blocks die with the executor; the
+    parquet spill survives). Must be result-identical to the default
+    path and actually leave the frames on disk."""
+    from pii_redaction_data_pipeline_spark.plans.curate import (
+        dedup_survivor_convs,
+    )
+    from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+
+    tr = TableIO(spark).read(tinydup_path)
+    kept = tr.select("conv_id").distinct()
+
+    local = {r.conv_id for r in dedup_survivor_convs(tr, kept, 0.6).collect()}
+    ckdir = str(tmp_path / "ck")
+    durable = {
+        r.conv_id
+        for r in dedup_survivor_convs(tr, kept, 0.6, checkpoint_dir=ckdir).collect()
+    }
+    assert durable == local and len(local) > 0
+    # the spilled frames are real parquet tables under the work dir
+    assert spark.read.parquet(f"{ckdir}/dedup_shingles").count() > 0
+    assert spark.read.parquet(f"{ckdir}/dedup_pairs").count() > 0
+
+
+def test_est_margin_none_disables_prefilter(spark, tinydup_path):
+    """est_margin must be a caller choice end-to-end (round-3 ADVICE):
+    None routes every band candidate to the exact verify; on the planted
+    fixture the survivor set is identical either way."""
+    from pii_redaction_data_pipeline_spark.plans.curate import (
+        dedup_survivor_convs,
+    )
+    from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+
+    tr = TableIO(spark).read(tinydup_path)
+    kept = tr.select("conv_id").distinct()
+    with_filter = {r.conv_id for r in dedup_survivor_convs(tr, kept, 0.6).collect()}
+    without = {
+        r.conv_id
+        for r in dedup_survivor_convs(tr, kept, 0.6, est_margin=None).collect()
+    }
+    assert with_filter == without and len(without) > 0

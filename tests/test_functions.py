@@ -504,3 +504,137 @@ class TestPngCodec:
         )
         row = decode_image_meta(df).first()
         assert row.codec == "stub"
+
+    def test_roundtrip_grey_alpha_and_1ch(self):
+        """encode_png must accept every shape decode_png returns:
+        (h,w,1) greyscale and (h,w,2) grey+alpha round-trip exactly."""
+        import numpy as np
+
+        from pii_redaction_data_pipeline_spark.functions.png_codec import (
+            decode_png,
+            encode_png,
+        )
+
+        for ch in (1, 2):
+            px = self._px(11, 7, ch)
+            if ch == 1 and px.ndim == 2:
+                px = px[:, :, None]
+            w, h, out = decode_png(encode_png(px))
+            assert (w, h) == (7, 11)
+            assert np.array_equal(out, px), ch
+
+    def test_spark_resize_greyscale_real_branch(self, spark):
+        """Greyscale PNGs must take the REAL resize path (decode ->
+        resample -> re-encode), not silently pass the original bytes
+        through while reporting scaled dims (round-3 ADVICE, medium)."""
+        from pii_redaction_data_pipeline_spark.functions.png_codec import (
+            decode_png,
+            encode_png,
+        )
+        from pii_redaction_data_pipeline_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        grey = encode_png(self._px(300, 500, 1))
+        ga = encode_png(self._px(280, 420, 2))
+        df = spark.createDataFrame(
+            [(1, grey), (2, ga)], "doc_id long, media binary"
+        )
+        rows = {r.doc_id: r for r in resize_images(df, max_side=128).collect()}
+        for did, src in ((1, grey), (2, ga)):
+            r = rows[did]
+            assert bytes(r.resized) != src  # actually resized, not pass-through
+            w, h, px = decode_png(bytes(r.resized))
+            assert (w, h) == (r.out_w, r.out_h)
+            assert max(w, h) <= 128
+            assert px.shape[2] == (1 if did == 1 else 2)
+
+    def test_idat_before_ihdr_is_valueerror(self):
+        import struct
+        import zlib
+        from binascii import crc32
+
+        import pytest
+
+        from pii_redaction_data_pipeline_spark.functions.png_codec import (
+            PNG_MAGIC,
+            decode_png,
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        bad = (
+            PNG_MAGIC
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IDAT before IHDR"):
+            decode_png(bad)
+
+
+def _make_jpeg(width: int, height: int) -> bytes:
+    """Hand-built minimal JPEG: SOI + APP0(JFIF) + SOF0 + EOI. Enough
+    marker structure for a dimension scan; no entropy data needed."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHH", 8, height, width) + b"\x03" + (
+        b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+class TestJpegDims:
+    def test_sof_scan(self):
+        from pii_redaction_data_pipeline_spark.functions.png_codec import jpeg_dims
+
+        assert jpeg_dims(_make_jpeg(640, 480)) == (640, 480)
+        assert jpeg_dims(_make_jpeg(1, 1)) == (1, 1)
+
+    def test_skips_dht_and_fill_bytes(self):
+        """0xC4 (DHT) sits in the SOF range but is not a frame header;
+        fill 0xFF bytes may pad between segments."""
+        import struct
+
+        from pii_redaction_data_pipeline_spark.functions.png_codec import jpeg_dims
+
+        dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"
+        sof0 = struct.pack(">BHH", 8, 77, 99) + b"\x01" + b"\x01\x22\x00"
+        sof = b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        buf = b"\xff\xd8" + dht + b"\xff" + sof + b"\xff\xd9"  # fill 0xFF before SOF
+        assert jpeg_dims(buf) == (99, 77)
+
+    def test_malformed_is_valueerror(self):
+        import pytest
+
+        from pii_redaction_data_pipeline_spark.functions.png_codec import jpeg_dims
+
+        with pytest.raises(ValueError):
+            jpeg_dims(b"\x00\x01")
+        with pytest.raises(ValueError):
+            jpeg_dims(b"\xff\xd8\xff\xd9")  # SOI + EOI, no SOF
+        with pytest.raises(ValueError):
+            jpeg_dims(b"\xff\xd8" + b"\xff\xda\x00\x04\x00\x00")  # SOS before SOF
+
+    def test_spark_meta_real_jpeg_branch(self, spark):
+        from pii_redaction_data_pipeline_spark.operators.multimodal import (
+            decode_image_meta,
+        )
+
+        df = spark.createDataFrame(
+            [(1, _make_jpeg(800, 600)), (2, _make_jpeg(32, 48))],
+            "doc_id long, media binary",
+        )
+        meta = {r.doc_id: r for r in decode_image_meta(df).collect()}
+        assert (meta[1].width, meta[1].height, meta[1].codec) == (800, 600, "jpeg")
+        assert (meta[2].width, meta[2].height, meta[2].codec) == (32, 48, "jpeg")
