@@ -128,22 +128,37 @@ def pack_sequences(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        import numpy as np
+
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        toks: list[str] = []
-        owners: list[int] = []
-        for did, text in zip(pdf[id_col], pdf[text_col]):
-            t = _TOKEN_RE.findall(text or "")
-            t.append(EOS_MARK)
-            toks.extend(t)
-            owners.extend([did] * len(t))
+        # per-doc token lists once; ownership comes from doc SPAN
+        # boundaries (cumsum + searchsorted) instead of a per-token
+        # owners list — the old bookkeeping appended one Python element
+        # per token (~seq_tokens x n_sequences total) and re-sorted a
+        # set per chunk, and was the materializer's hottest loop
+        per_doc = [_TOKEN_RE.findall(t or "") + [EOS_MARK] for t in pdf[text_col]]
+        counts = np.fromiter(
+            (len(t) for t in per_doc), dtype=np.int64, count=len(per_doc)
+        )
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        toks = list(itertools.chain.from_iterable(per_doc))
+        ids = pdf[id_col].to_numpy()
+        total = int(bounds[-1])
         rows = []
         bucket = int(pdf["bucket"].iloc[0])
-        for s in range(0, len(toks), seq_tokens):
-            chunk = toks[s : s + seq_tokens]
-            if drop_last_partial and len(chunk) < seq_tokens:
+        for s in range(0, total, seq_tokens):
+            e = min(s + seq_tokens, total)
+            if drop_last_partial and e - s < seq_tokens:
                 break
-            own = sorted(set(owners[s : s + len(chunk)]))
-            rows.append((bucket, s // seq_tokens, len(chunk), chunk, own))
+            lo = int(np.searchsorted(bounds, s, "right")) - 1
+            hi = int(np.searchsorted(bounds, e, "left"))
+            # docs appear once each, pre-sorted by id: the slice is
+            # already the sorted-unique owner list
+            rows.append(
+                (bucket, s // seq_tokens, e - s, toks[s:e], ids[lo:hi].tolist())
+            )
         return pd.DataFrame(
             rows, columns=["bucket", "seq_idx", "n_tokens", "tokens", "doc_ids"]
         )

@@ -257,11 +257,16 @@ def run_curation(
         mark("annotate", cfg.n_buckets)
         ran.append("annotate")
 
-    # one cached frame shared by stages 2 and 5 (both consume the full
-    # annotated table; caching saves the second parquet scan+filter).
-    # MEMORY_AND_DISK by default, unpersisted before returning.
-    annotated = spark.read.parquet(paths["annotated"]).filter(
-        F.col("run_id") == run_id
+    # one cached frame shared by stages 2 and 5, PROJECTED to exactly the
+    # union of the columns they read (verdict: conv_id+keep; pack adds
+    # turn_idx+scrubbed_text) — caching the full annotated table would
+    # pay deserialize+store for entities/drop_reasons/scrub_counts/text
+    # that neither stage touches. MEMORY_AND_DISK by default,
+    # unpersisted before returning.
+    annotated = (
+        spark.read.parquet(paths["annotated"])
+        .filter(F.col("run_id") == run_id)
+        .select("conv_id", "turn_idx", "keep", "scrubbed_text")
     )
     cache_annotated = {"conv_verdict", "pack"} - done
     if len(cache_annotated) == 2:
