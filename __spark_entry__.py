@@ -1337,9 +1337,9 @@ def q_winnow_fingerprint(spark, sf_dir):
 def q_multimodal_decode_stub(spark, sf_dir):
     """Stubbed media decode via mapInPandas (schema/batch plumbing real).
 
-    Not registered in queries() (50-entry harness budget; the resize and
-    frame-sample entries keep the multimodal family oracle-checked) —
-    kept callable for tests/test_facades.py and direct use."""
+    Not registered in queries() (50-entry harness budget; multimodal_meta
+    holds the family's driver slot, resize/frames live in the pruned
+    oracles) — kept callable for tests/test_facades.py and direct use."""
     from pii_redaction_data_pipeline_spark.operators.multimodal import (
         attach_binary,
         decode_image_meta,

@@ -276,37 +276,80 @@ def lineage_metrics(
     `buckets` is the full set of buckets this run covered — buckets that
     happen to contain zero rows still get a (rows_in=0, complete) row,
     otherwise a rerun would re-process them forever (found by the
-    kill-and-resume probe)."""
-    exploded = F.explode_outer("drop_reasons").alias("reason")
-    by_reason = (
-        annotated_out.select(BUCKET_COL, exploded)
-        .where(F.col("reason").isNotNull())
-        .groupBy(BUCKET_COL, "reason")
-        .count()
-        .groupBy(BUCKET_COL)
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("reason", "count")))
-            ).alias("drop_reason_counts")
+    kill-and-resume probe).
+
+    Plan shape: ONE scan of the written table. Each row flattens into a
+    small entries array — a 'row' sentinel (carrying keep) plus one
+    entry per drop reason and per scrub-count pair — which explodes
+    into a single (bucket, kind, key)->sum aggregation; totals and both
+    maps are then pivoted out of that one aggregate. The previous shape
+    ran three scans (totals / reasons / scrub) over the same 2M+ rows —
+    two redundant passes that at 100 TB would each re-read the output."""
+    row_mark = F.array(
+        F.struct(
+            F.lit("row").alias("kind"),
+            F.col("keep").cast("string").alias("key"),
+            F.lit(1).cast("long").alias("n"),
         )
     )
-    scrub_kv = (
-        annotated_out.select(
-            BUCKET_COL, F.explode_outer("scrub_counts").alias("pii_type", "n")
-        )
-        .where(F.col("pii_type").isNotNull())
-        .groupBy(BUCKET_COL, "pii_type")
-        .agg(F.sum("n").alias("n"))
-        .groupBy(BUCKET_COL)
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("pii_type", "n")))
-            ).alias("scrub_counts")
-        )
+    reason_entries = F.transform(
+        F.coalesce("drop_reasons", F.array().cast("array<string>")),
+        lambda r: F.struct(
+            F.lit("reason").alias("kind"),
+            r.alias("key"),
+            F.lit(1).cast("long").alias("n"),
+        ),
     )
-    totals = annotated_out.groupBy(BUCKET_COL).agg(
-        F.count("*").alias("rows_in"),
-        F.sum(F.col("keep").cast("long")).alias("rows_out"),
+    scrub_entries = F.transform(
+        F.map_entries(
+            F.coalesce("scrub_counts", F.create_map().cast("map<string,int>"))
+        ),
+        lambda kv: F.struct(
+            F.lit("scrub").alias("kind"),
+            kv["key"].alias("key"),
+            kv["value"].cast("long").alias("n"),
+        ),
+    )
+    flat = annotated_out.select(
+        BUCKET_COL,
+        F.explode(F.concat(row_mark, reason_entries, scrub_entries)).alias("e"),
+    ).select(BUCKET_COL, "e.kind", "e.key", "e.n")
+    per_key = flat.groupBy(BUCKET_COL, "kind", "key").agg(F.sum("n").alias("n"))
+
+    def pivot_map(kind: str) -> F.Column:
+        entries = F.filter(
+            F.collect_list(F.struct("kind", "key", "n")),
+            lambda s: s["kind"] == kind,
+        )
+        return F.map_from_entries(
+            F.array_sort(
+                F.transform(entries, lambda s: F.struct(s["key"], s["n"]))
+            )
+        )
+
+    agg = per_key.groupBy(BUCKET_COL).agg(
+        F.sum(F.when(F.col("kind") == "row", F.col("n")).otherwise(0)).alias(
+            "rows_in"
+        ),
+        F.sum(
+            F.when(
+                (F.col("kind") == "row") & (F.col("key") == "true"), F.col("n")
+            ).otherwise(0)
+        ).alias("rows_out"),
+        pivot_map("reason").alias("drop_reason_counts"),
+        pivot_map("scrub").alias("scrub_counts"),
+    )
+    # empty maps -> null, matching the previous left-join shape
+    totals = agg.select(
+        BUCKET_COL,
+        "rows_in",
+        "rows_out",
+        F.when(F.size("drop_reason_counts") > 0, F.col("drop_reason_counts")).alias(
+            "drop_reason_counts"
+        ),
+        F.when(F.size("scrub_counts") > 0, F.col("scrub_counts")).alias(
+            "scrub_counts"
+        ),
     )
     if buckets is not None:
         spark = annotated_out.sparkSession
@@ -318,9 +361,7 @@ def lineage_metrics(
             .na.fill({"rows_in": 0, "rows_out": 0})
         )
     out = (
-        totals.join(by_reason, BUCKET_COL, "left")
-        .join(scrub_kv, BUCKET_COL, "left")
-        .select(
+        totals.select(
             F.lit(run_id).alias("run_id"),
             F.col(BUCKET_COL).cast("string").alias("partition_id"),
             "rows_in",

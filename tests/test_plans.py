@@ -208,8 +208,11 @@ def test_ann_and_topk_broadcast_probe_side(spark):
     """The similarity queries must broadcast their (tiny) probe side —
     a shuffled probe set at corpus scale would exchange the whole
     embedding table instead of shipping a few vectors."""
+    # ann_lsh moved to the pruned registry in round 4 (slot reused for
+    # semdedup); its plan contract is still pinned here
+    reg = {**E.queries(), **E.PRUNED_QUERIES}
     plans = {
-        name: plan_of(E.queries()[name](spark, SF))
+        name: plan_of(reg[name](spark, SF))
         for name in ("cosine_topk", "ann_lsh", "ann_ivf")
     }
     assert "BroadcastNestedLoopJoin" in plans["cosine_topk"]  # != join
