@@ -249,6 +249,7 @@ def run_curation(
     ran: list[str] = []
 
     # --- stage 1: annotate (per-bucket resume inside run_pipeline) ---
+    pre_shuffle_partitions = spark.conf.get("spark.sql.shuffle.partitions")
     if "annotate" not in done:
         run_pipeline(
             spark, input_path, paths["annotated"], paths["lineage"],
@@ -256,6 +257,13 @@ def run_curation(
         )
         mark("annotate", cfg.n_buckets)
         ran.append("annotate")
+    # run_pipeline retunes spark.sql.shuffle.partitions to the CORPUS
+    # byte volume (right for annotate's conv_id exchange); the
+    # post-annotate stages shuffle far less (verdict rollup rows, conv-id
+    # lists, pack's 128 bucket groups) and measurably pay for the extra
+    # partitions (~+3 s on the pack stage at bench scale) — restore the
+    # caller's setting for the rest of the DAG
+    spark.conf.set("spark.sql.shuffle.partitions", pre_shuffle_partitions)
 
     # one cached frame shared by stages 2 and 5, PROJECTED to exactly the
     # union of the columns they read (verdict: conv_id+keep; pack adds

@@ -44,11 +44,21 @@ class LineageStore:
         self.path = path
 
     def read(self) -> DataFrame:
+        # probe existence via the Hadoop FS (works for s3a://, hdfs://,
+        # file:// alike) BEFORE building the reader: with an explicit
+        # schema the parquet read resolves lazily, so a missing first-run
+        # path used to fail during ANALYSIS of the first action — the
+        # result was still an empty frame, but every miss logged a
+        # FileNotFound stack trace and fired a failed-query event that
+        # Spark 4's ObservationManager listener re-analyzes (driver-log
+        # noise measured once per fresh-dir DAG run)
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         try:
             return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
-        except AnalysisException:  # path does not exist yet (first run) —
-            # checked via the reader so s3://'hdfs:// paths work, not just
-            # the driver's local filesystem
+        except AnalysisException:  # raced away between probe and read
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
 
     def completed_buckets(self, run_id: str) -> list[int]:
