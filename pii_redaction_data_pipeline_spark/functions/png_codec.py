@@ -100,6 +100,8 @@ def jpeg_dims(buf: bytes) -> tuple[int, int]:
         # 0xFF fill bytes may pad between segments (T.81 B.1.1.2)
         while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(buf):  # stream ends inside the fill bytes
+            raise ValueError("truncated JPEG (ends in fill bytes)")
         marker = buf[pos + 1]
         if marker in _JPEG_STANDALONE:
             pos += 2

@@ -497,6 +497,8 @@ def _simhash_keyed(
 
     def block(i: int) -> F.Column:
         off, w = bounds[i]
+        if w >= 64:  # single-block case: (1<<64)-1 overflows a Java long
+            return F.col("sh")
         return F.shiftrightunsigned("sh", off).bitwiseAND(F.lit((1 << w) - 1))
 
     return sigs.select(

@@ -83,6 +83,13 @@ class CurationConfig:
     # a quantified ~1e-4 per-pair recall loss just above threshold for
     # not joining shingle arrays to doomed candidates (dedup.py:162).
     dedup_est_margin: float | None = 0.2
+    # durable (shared-storage parquet) materialization of the dedup
+    # stage's reused shingle/pair frames, instead of localCheckpoint
+    # whose blocks die with their executor. Default ON: the frames are
+    # rows-of-the-conversation-count small, and on a real cluster an
+    # executor loss mid-dedup must not kill the run. Single-JVM
+    # microbenchmarks can set False to shave two tiny write+read jobs.
+    durable_dedup_checkpoints: bool = True
     sample_rate: float = 0.85
     sample_seed: int = 5
     seq_tokens: int = 256
@@ -270,15 +277,20 @@ def run_curation(
     # turn_idx+scrubbed_text) — caching the full annotated table would
     # pay deserialize+store for entities/drop_reasons/scrub_counts/text
     # that neither stage touches. MEMORY_AND_DISK by default,
-    # unpersisted before returning.
-    annotated = (
-        spark.read.parquet(paths["annotated"])
-        .filter(F.col("run_id") == run_id)
-        .select("conv_id", "turn_idx", "keep", "scrubbed_text")
-    )
-    cache_annotated = {"conv_verdict", "pack"} - done
-    if len(cache_annotated) == 2:
-        annotated = annotated.cache()
+    # unpersisted before returning. Built LAZILY and only when a pending
+    # stage actually reads it: a resume whose remaining stages don't
+    # touch the annotated table (e.g. only 'sample' pending) must not
+    # fail on a missing/GC'd annotated directory.
+    stages_needing_annotated = {"conv_verdict", "pack"} - done
+    annotated = None
+    if stages_needing_annotated:
+        annotated = (
+            spark.read.parquet(paths["annotated"])
+            .filter(F.col("run_id") == run_id)
+            .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+        )
+        if len(stages_needing_annotated) == 2:
+            annotated = annotated.cache()
 
     try:
         # --- stage 2: conversation verdict rollup ---
@@ -306,6 +318,9 @@ def run_curation(
             tr = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
             surv = dedup_survivor_convs(
                 tr, kept, ccfg.dedup_jaccard, est_margin=ccfg.dedup_est_margin,
+                checkpoint_dir=(
+                    f"{work}/dedup_ck" if ccfg.durable_dedup_checkpoints else None
+                ),
             )
             mark("conv_dedup", write_counted(surv, paths["survivor_convs"]))
             ran.append("conv_dedup")
@@ -338,7 +353,7 @@ def run_curation(
             mark("pack", write_counted(packed, paths["packed"]))
             ran.append("pack")
     finally:
-        if len(cache_annotated) == 2:
+        if annotated is not None and len(stages_needing_annotated) == 2:
             annotated.unpersist()
 
     summary = {

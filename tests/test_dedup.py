@@ -416,3 +416,23 @@ class TestSimhashBanding:
             ).collect()
         }
         assert got == truth
+
+    def test_single_block_parameterization(self, spark):
+        """n_blocks=1 (exact-match banding) must not overflow the Java
+        long mask: the single 64-bit block is the raw signature."""
+        import numpy as np
+
+        from pii_redaction_data_pipeline_spark.operators.dedup import (
+            simhash_sig_pairs,
+        )
+
+        rng = np.random.default_rng(5)
+        base = [int(x) for x in rng.integers(0, 1 << 63, size=10)]
+        sigs = base + [base[0]]  # ids 0 and 10 share a signature
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_sig_pairs(
+                self._sig_df(spark, sigs), max_hamming=0, n_blocks=1
+            ).collect()
+        }
+        assert got == {(0, 10, 0)}

@@ -638,3 +638,15 @@ class TestJpegDims:
         meta = {r.doc_id: r for r in decode_image_meta(df).collect()}
         assert (meta[1].width, meta[1].height, meta[1].codec) == (800, 600, "jpeg")
         assert (meta[2].width, meta[2].height, meta[2].codec) == (32, 48, "jpeg")
+
+    def test_truncated_fill_bytes_is_valueerror(self):
+        """A stream ending inside 0xFF fill bytes must raise ValueError,
+        not IndexError (uniform malformed-input contract)."""
+        import pytest
+
+        from pii_redaction_data_pipeline_spark.functions.png_codec import jpeg_dims
+
+        with pytest.raises(ValueError):
+            jpeg_dims(b"\xff\xd8\xff\xff")
+        with pytest.raises(ValueError):
+            jpeg_dims(b"\xff\xd8\xff")
