@@ -1254,10 +1254,12 @@ def q_simhash(spark, sf_dir):
     """SimHash banded near-dup RECALL, oracle-checked: the true near-dup
     pairs (exact ngram-jaccard, SQL-expressible) inner-joined against
     the simhash candidate pairs. Deterministic on the fixture corpus —
-    every true pair is within the hamming radius and shares a 16-bit
-    chunk, so the result equals the truth set; a broken signature or
-    banding drops rows and fails the hash match. Precision (the JVM
-    bit_count hamming verify) is pytest-pinned (tests/test_dedup.py)."""
+    the multi-table combination banding is RECALL-COMPLETE at the
+    radius (every pair within max_hamming shares a clean block
+    combination, operators/dedup.py simhash_sig_pairs), so the result
+    equals the truth set; a broken signature or banding drops rows and
+    fails the hash match. Precision (the JVM bit_count hamming verify)
+    is pytest-pinned (tests/test_dedup.py)."""
     from pii_redaction_data_pipeline_spark.operators.dedup import (
         ngram_jaccard_pairs,
         simhash_pairs,
