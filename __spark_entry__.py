@@ -268,6 +268,40 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup (CCNet / RefinedWeb boilerplate-line
+    removal; operators/dedup.py corpus_line_dedup). The synthetic corpus
+    has no newlines, so the fixture first folds every document into
+    pseudo-lines of 8 words (deterministic chunking the oracle replays
+    with list slicing), then drops each line occurring in >= 2 distinct
+    documents — at sf0.01 that is 153 distinct boilerplate lines
+    covering 328 of 3434 line instances. Scale contract in the operator
+    docstring: detection ships 16 B/row (hash, id); dropped POSITIONS —
+    never text — flow back as one short int array per affected document;
+    the text column shuffles at most once (rebuild join), and not at all
+    while the drop array broadcasts. Reference analog: the processed-set
+    membership gate (redact.py:169-193) lifted to corpus-wide lines."""
+    from pii_redaction_data_pipeline_spark.operators.dedup import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 1, F.lit(8)),
+                lambda i: F.array_join(F.slice(ws, i + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return (
+        corpus_line_dedup(chunked, min_docs=2)
+        .select("doc_id", "text_clean", "n_lines", "n_kept")
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators/sampling.py):
     per-language keep rates via a sha256-prefix gate — pure Catalyst
@@ -1743,7 +1777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and ann_lsh (cosine family keeps cosine_topk + ann_ivf, both against
     the same exact top-k SQL; recall floors stay pytest-pinned) — slot
     reused for semdedup, the composed embed-pairs -> components -> reps
-    chain."""
+    chain. Late round 4 pruned tpch_q6 (the scan-filter-agg family keeps
+    tpch_q1, p4_time_range, and the plan-shape pytest pin in
+    tests/test_plans.py) — slot reused for line_dedup, the CCNet-style
+    corpus-level boilerplate-line removal operator."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -1755,7 +1792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_manifest_counts": q_a2_manifest_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
         "stratified_sample": q_stratified_sample,
         "w1_first_per_group": q_w1_first_per_group,
         "w2_topn_orders": q_w2_topn_orders,
@@ -1774,6 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_entity_counts": q_a3_entity_counts,
         "token_count": q_token_count,
         "dedup_exact_groups": q_dedup_exact_groups,
+        # CCNet-style corpus-level boilerplate-line removal
+        "line_dedup": q_line_dedup,
         "langid_stopwords": q_langid_stopwords,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -2080,14 +2118,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
         """,
-        "tpch_q6": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-                   count(*) AS n_items
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-              AND l_discount >= 0.03 AND l_discount <= 0.07
-              AND l_quantity < 24
+        # CCNet-style line dedup: the oracle re-derives the 8-word
+        # chunking with list slicing, the boilerplate set by grouping on
+        # the raw line text (the Spark side's xxhash64 is an identity
+        # optimization, not a semantic), and the rebuild with an
+        # order-preserving string_agg
+        "line_dedup": """
+            WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            lines AS (
+                SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS ln,
+                       array_to_string(ws[i:i+7], ' ') AS line
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1, 8)) AS i) t
+            ),
+            boiler AS (
+                SELECT line FROM lines WHERE length(line) >= 1
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ),
+            k AS (
+                SELECT l.doc_id, l.ln, l.line, (b.line IS NOT NULL) AS is_b
+                FROM lines l LEFT JOIN boiler b USING (line)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY ln)
+                            FILTER (WHERE NOT is_b), '') AS text_clean,
+                   count(*) AS n_lines,
+                   count(*) FILTER (WHERE NOT is_b) AS n_kept
+            FROM k GROUP BY doc_id ORDER BY doc_id
         """,
         # deterministic stratified sampling: the DuckDB side re-derives
         # the keep set from the spec alone (sha256 prefix gate), so any
@@ -2443,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
 # tests/test_pruned_oracles.py so the operators cannot silently rot.
 PRUNED_QUERIES = {
     "simhash": q_simhash,
+    "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "date_funcs": q_date_funcs,
     "a1_status_rollup": q_a1_status_rollup,
@@ -2521,6 +2578,15 @@ PRUNED_ORACLES = {
                date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
                    AS days_to_feb
         FROM events WHERE user_id < 40 ORDER BY event_id
+    """,
+    "tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name,

@@ -672,3 +672,93 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- corpus-level exact line dedup (boilerplate removal) --------------------
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Remove every line that occurs verbatim in >= min_docs distinct
+    documents (CCNet / RefinedWeb-style boilerplate-line removal),
+    preserving each document's remaining line order.
+
+    Returns one row per input document: (id_col, text_clean, n_lines,
+    n_kept). A document whose every line is boilerplate survives with
+    text_clean = '' so downstream length filters — not this operator —
+    decide its fate.
+
+    Scale shape (the text column never enters a shuffle on the default
+    path):
+      1. DETECT ships only (xxhash64(line), id) pairs — ~16 B/row —
+         through a map-side-combined distinct + count; the boilerplate
+         frame that survives is bare 8-byte hashes.
+      2. LOCATE joins the slim (h, id, ln) projection — line POSITIONS,
+         not text — against those hashes and groups to one short int
+         array per affected document (bounded by lines-per-document, a
+         safe collect_list).
+      3. REBUILD left-joins documents to that per-document drop array:
+         AQE broadcasts it while it is small, and when it is not the
+         join shuffles documents by id ONCE — the only possible text
+         movement. The clean text is rebuilt with JVM array ops
+         (index-filter over the split), no Python anywhere.
+
+    Lines shorter than min_line_chars (default 1: empty lines) are
+    never counted as boilerplate, so blank-line document structure
+    survives. Line identity is xxhash64 of the exact line text: a false
+    drop needs a 64-bit collision WITH a boilerplate line's hash —
+    negligible at any corpus size that fits storage (same contract as
+    the minhash band hashes above).
+
+    Reference analog: the processed-set membership check that prevents
+    re-redaction (redact.py:169-193) generalized from within-document
+    boxes to corpus-wide line membership.
+    """
+    import re as _re
+
+    pat = _re.escape(delim)
+    empty_int_arr = F.array().cast("array<int>")
+    slim = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("ln", "line"),
+    ).select(
+        "id",
+        "ln",
+        F.xxhash64("line").alias("h"),
+        (F.length("line") >= min_line_chars).alias("cand"),
+    )
+    boiler = (
+        slim.filter("cand")
+        .select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    dropped = (
+        slim.filter("cand")
+        .join(boiler, "h")
+        .groupBy("id")
+        .agg(F.collect_list("ln").alias("drop_ln"))
+        .withColumnRenamed("id", "__drop_id")
+    )
+    parts = F.split(F.col(text_col), pat)
+    drop_arr = F.coalesce(F.col("drop_ln"), empty_int_arr)
+    kept = F.filter(parts, lambda line, i: ~F.array_contains(drop_arr, i))
+    n_lines = F.size(parts)
+    return (
+        df.join(dropped, F.col(id_col) == F.col("__drop_id"), "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, delim).alias("text_clean"),
+            n_lines.cast("long").alias("n_lines"),
+            (n_lines - F.size(drop_arr)).cast("long").alias("n_kept"),
+        )
+    )

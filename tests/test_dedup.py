@@ -436,3 +436,57 @@ class TestSimhashBanding:
             ).collect()
         }
         assert got == {(0, 10, 0)}
+
+
+class TestCorpusLineDedup:
+    """Corpus-level exact line dedup (CCNet-style boilerplate removal)."""
+
+    ROWS = [
+        (1, "keep one\nBOILER A\nkeep two"),
+        (2, "BOILER A\nunique x\n\nBOILER B"),
+        (3, "BOILER B\nunique y"),
+        (4, "\n\n"),  # blank lines only: never boilerplate, all survive
+        (5, "BOILER A"),  # fully boilerplate -> empty text, row kept
+    ]
+
+    def _run(self, spark, **kw):
+        from pii_redaction_data_pipeline_spark.operators.dedup import (
+            corpus_line_dedup,
+        )
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        return {r["doc_id"]: r for r in corpus_line_dedup(df, **kw).collect()}
+
+    def test_drops_cross_doc_lines_preserving_order(self, spark):
+        out = self._run(spark)
+        assert len(out) == 5  # every document row survives
+        assert out[1]["text_clean"] == "keep one\nkeep two"
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+        # BOILER A (docs 1,2,5) and BOILER B (docs 2,3) both dropped;
+        # the empty line in doc 2 is below min_line_chars and survives
+        assert out[2]["text_clean"] == "unique x\n"
+        assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 2)
+        assert out[3]["text_clean"] == "unique y"
+
+    def test_blank_line_structure_survives(self, spark):
+        out = self._run(spark)
+        assert out[4]["text_clean"] == "\n\n"
+        assert (out[4]["n_lines"], out[4]["n_kept"]) == (3, 3)
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        out = self._run(spark)
+        assert out[5]["text_clean"] == ""
+        assert (out[5]["n_lines"], out[5]["n_kept"]) == (1, 0)
+
+    def test_min_docs_threshold(self, spark):
+        out = self._run(spark, min_docs=3)  # only BOILER A hits 3 docs
+        assert out[3]["text_clean"] == "BOILER B\nunique y"
+        assert out[2]["text_clean"] == "unique x\n\nBOILER B"
+        assert out[1]["text_clean"] == "keep one\nkeep two"
+
+    def test_min_line_chars_gates_candidates(self, spark):
+        out = self._run(spark, min_line_chars=20)  # nothing is long enough
+        assert all(
+            out[i]["text_clean"] == t for i, t in [(j + 1, r[1]) for j, r in enumerate(self.ROWS)]
+        )
+        assert all(out[i]["n_lines"] == out[i]["n_kept"] for i in out)

@@ -62,7 +62,7 @@ def test_tpch_q5_broadcasts_dims_and_pushes_dates(spark):
 def test_tpch_q6_is_scan_filter_agg(spark):
     """Q6 must stay a scan→filter→partial/final agg: no join operator,
     all three predicates pushed to the lineitem scan."""
-    plan = plan_of(E.queries()["tpch_q6"](spark, SF))
+    plan = plan_of(E.PRUNED_QUERIES["tpch_q6"](spark, SF))
     assert "Join" not in plan
     # Spark truncates the printed PushedFilters list, so assert on the
     # scan line as a whole rather than the bracketed list.
