@@ -253,3 +253,24 @@ def test_pack_placement_single_exchange(spark):
     plan = plan_of(with_pack_placement(docs, 512, 16))
     n_exchange = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchange == 1, plan[:1200]
+
+
+def test_line_dedup_text_never_enters_an_exchange(spark):
+    """corpus_line_dedup's scale contract: boilerplate detection ships
+    only (hash, id) pairs, drop POSITIONS come back as one int array per
+    document, and the rebuild left-join broadcasts that array — so no
+    Exchange in the plan may carry the text column. The final orderBy's
+    presentation exchange is excluded by planning the operator directly."""
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        corpus_line_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = plan_of(corpus_line_dedup(docs, min_docs=2))
+    assert "SortMergeJoin" not in plan  # both joins broadcast here
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    # the formatted string prints each Exchange's output expressions on
+    # the same line; none may reference the text column
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "text#" not in line, line
