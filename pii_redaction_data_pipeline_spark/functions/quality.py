@@ -12,6 +12,7 @@ thresholded reasons from config.DROP_REASONS.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import numpy as np
@@ -142,25 +143,32 @@ def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
     )
 
 
-def repetition_frac_series(texts: pd.Series) -> pd.Series:
-    """Fraction of characters covered by the most frequent word 3-gram.
+def top_ngram_char_frac_series(texts: pd.Series, n: int) -> pd.Series:
+    """Fraction of characters covered by the most frequent word n-gram
+    (Gopher `top_n_gram_character_fraction`, n = 2..4 in the paper).
 
     Deterministic: ties resolve to the first-seen gram (Counter preserves
     insertion order; most_common's sort is stable), and the gram is keyed
     as a word TUPLE — same counts and same tie order as joining with
     spaces, without building len(words) strings per row; the joined gram
-    length is recovered as sum(word lens) + 2 separators.
+    length is recovered as sum(word lens) + (n-1) separators.
     """
     out = np.zeros(len(texts), dtype=np.float64)
     for i, t in enumerate(texts.fillna("")):
         words = t.split()
-        if len(words) < 3:
+        if len(words) < n:
             continue
-        gram, cnt = Counter(zip(words, words[1:], words[2:])).most_common(1)[0]
+        gram, cnt = Counter(zip(*[words[j:] for j in range(n)])).most_common(1)[0]
         if cnt > 1:
-            gram_len = len(gram[0]) + len(gram[1]) + len(gram[2]) + 2
+            gram_len = sum(len(w) for w in gram) + (n - 1)
             out[i] = min(cnt * gram_len / max(len(t), 1), 1.0)
     return pd.Series(out, index=texts.index)
+
+
+def repetition_frac_series(texts: pd.Series) -> pd.Series:
+    """The pipeline's repetition gate: the n=3 case of the panel above
+    (kept as a named entry point — its thresholds live in config)."""
+    return top_ngram_char_frac_series(texts, 3)
 
 
 def make_repetition_udf():
@@ -180,3 +188,67 @@ def with_heuristic_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("symbol_ratio", symbol_ratio_col(text))
         .withColumn("rep_frac", make_repetition_udf()(text))
     )
+
+
+# --- Gopher repetition panel (the paper's remaining repetition signals) -----
+
+
+def dup_line_frac_col(text: Column, delim: str = "\n") -> Column:
+    """Fraction of lines that repeat an earlier line within the document
+    (Gopher `duplicate_line_fraction`): 1 - distinct/total. Pure JVM
+    array ops — no regex scan, no Python, stays in codegen."""
+    lines = F.split(text, re.escape(delim))
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n.cast("double")
+    )
+
+
+def dup_line_char_frac_col(text: Column, delim: str = "\n") -> Column:
+    """Fraction of characters sitting inside duplicated lines (Gopher
+    `duplicate_line_character_fraction`). The nested higher-order filter
+    is O(lines^2) WITHIN one document — bounded by lines-per-document,
+    zero Python, zero shuffle — the right trade against building a
+    per-document hash map in a UDF."""
+    lines = F.split(text, re.escape(delim))
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        dup_chars.cast("double") / total.cast("double")
+    )
+
+
+def make_top_ngram_udf(n: int):
+    @F.pandas_udf(T.DoubleType())
+    def top_ngram_udf(texts: pd.Series) -> pd.Series:
+        return top_ngram_char_frac_series(texts, n)
+
+    return top_ngram_udf
+
+
+def with_repetition_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3, 4),
+    delim: str = "\n",
+) -> DataFrame:
+    """Full Gopher repetition panel: dup_line_frac and
+    dup_line_char_frac (JVM array expressions) plus
+    top_{n}gram_char_frac for each n in ns. The n-gram columns are
+    pandas UDFs, but Spark batches every pandas UDF in one projection
+    into a SINGLE ArrowEvalPython stage, so the panel costs one Arrow
+    exchange regardless of len(ns)."""
+    text = F.col(text_col)
+    out = df.withColumn("dup_line_frac", dup_line_frac_col(text, delim)).withColumn(
+        "dup_line_char_frac", dup_line_char_frac_col(text, delim)
+    )
+    for n in ns:
+        out = out.withColumn(f"top_{n}gram_char_frac", make_top_ngram_udf(n)(text))
+    return out
