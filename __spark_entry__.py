@@ -302,6 +302,29 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_repeated_span(spark, sf_dir):
+    """Cross-document exact substring (repeated-span) dedup — the Lee
+    et al. 2022 span remover (operators/dedup.py repeated_span_dedup):
+    every word 8-gram occurring in >= 2 distinct documents marks its 8
+    tokens; covered tokens are cut, order preserved. Span-level sibling
+    of line_dedup (needs no line structure) and of the whole-document
+    near-dup family (cuts the boilerplate paragraph WITHOUT dropping the
+    unique document around it). Scale contract in the operator
+    docstring: detection ships (hash, id) pairs only; covered token
+    INDICES — never text — flow back as one int array per affected
+    document; the text column shuffles at most once (rebuild join).
+    Oracle re-derives coverage from the gram STRINGS (hash-free), so a
+    hash-collision bug on the Spark side would surface as a mismatch."""
+    from pii_redaction_data_pipeline_spark.operators.dedup import repeated_span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repeated_span_dedup(docs, k=8, min_docs=2)
+        .select("doc_id", "text_clean", "n_tokens", "n_kept")
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators/sampling.py):
     per-language keep rates via a sha256-prefix gate — pure Catalyst
@@ -2517,11 +2540,45 @@ PRUNED_QUERIES = {
     # probabilistic by design — floors are pytest-pinned in
     # tests/test_similarity.py.
     "ann_lsh": lambda spark, sf_dir: _q_ann_lsh_tables(spark, sf_dir, 16),
+    # added round 4 (never held a driver slot): the dedup family in the
+    # 50-entry contract keeps dedup_exact_groups / line_dedup /
+    # ngram_jaccard / minhash_lsh / conv_neardup / dup_components /
+    # semdedup / decontaminate — the span remover is value-checked here
+    "repeated_span": q_repeated_span,
 }
 
 PRUNED_ORACLES = {
     "simhash": _NGRAM_TRUTH_SQL,
     "ann_lsh": _COSINE_TOPK_SQL,
+    # repeated-span dedup re-derived hash-free: coverage from the gram
+    # STRINGS via a per-token index union, rebuild via list comprehension
+    "repeated_span": r"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+            WHERE len(w) >= 8),
+        boiler AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2),
+        cover AS (
+            SELECT doc_id, list(ci) AS cov FROM (
+                SELECT DISTINCT x.doc_id, x.pos + j.j AS ci
+                FROM grams x JOIN boiler b USING (g),
+                LATERAL (SELECT unnest(range(0, 8)) AS j) j)
+            GROUP BY doc_id)
+        SELECT w.doc_id,
+            coalesce(array_to_string(
+                [w.w[i] FOR i IN range(1, len(w.w) + 1)
+                 IF NOT coalesce(list_contains(c.cov, i - 1), false)],
+                ' '), '') AS text_clean,
+            len(w.w)::BIGINT AS n_tokens,
+            (len(w.w) - coalesce(len(c.cov), 0))::BIGINT AS n_kept
+        FROM words w LEFT JOIN cover c USING (doc_id)
+        ORDER BY doc_id
+    """,
     "multimodal_resize": f"""
         WITH h AS (
             SELECT doc_id, sha256(text) AS hx

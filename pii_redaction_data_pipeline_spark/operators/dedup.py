@@ -762,3 +762,102 @@ def corpus_line_dedup(
             (n_lines - F.size(drop_arr)).cast("long").alias("n_kept"),
         )
     )
+
+
+# --- cross-document exact substring (repeated-span) dedup -------------------
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication at word granularity (the Spark
+    re-expression of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove every maximal span whose text recurs
+    verbatim elsewhere in the corpus). A word k-gram occurring in
+    >= min_docs DISTINCT documents marks its k tokens as duplicated;
+    overlapping marked grams coalesce into maximal spans for free
+    (coverage is per-token, so adjacent hits union), and the covered
+    tokens are removed while every unduplicated token keeps its order.
+
+    Returns one row per input document: (id_col, text_clean, n_tokens,
+    n_kept). A fully-duplicated document survives with text_clean = ''
+    — downstream length filters, not this operator, decide its fate
+    (same contract as corpus_line_dedup above).
+
+    Differs from the siblings: corpus_line_dedup needs structural line
+    boundaries; ngram_jaccard/minhash score whole-document similarity
+    and drop whole documents. This is the SPAN-level exact remover — the
+    only one that can cut a boilerplate paragraph out of an otherwise
+    unique document, which is the op Lee et al. show matters most for
+    memorization.
+
+    Scale shape (identical to corpus_line_dedup — the text column never
+    enters a shuffle on the default path):
+      1. DETECT ships only (xxhash64(gram), id) pairs — ~16 B per gram
+         instance — through a map-side-combined distinct + count; the
+         surviving duplicated-gram frame is bare 8-byte hashes.
+      2. LOCATE joins the slim (h, id, pos) projection against those
+         hashes, expands each hit to its k covered token INDICES
+         (JVM `sequence`, still ints), and groups to one int array per
+         affected document (bounded by tokens-per-document — the same
+         bound the line variant carries).
+      3. REBUILD left-joins documents to the per-document covered-index
+         array: AQE broadcasts it while small; otherwise documents
+         shuffle by id ONCE. Token filtering and re-joining are JVM
+         array ops (filter + array_join) — no Python anywhere.
+
+    A false span removal needs a 64-bit xxhash collision WITH a
+    duplicated gram's hash — negligible at any corpus that fits storage
+    (the same contract as the minhash band hashes above). Tokens are
+    exact whitespace-split words; no normalization, because the operator
+    family contract is EXACT substring identity.
+
+    Reference analog: the processed-boxes membership set that prevents
+    re-redaction of an already-covered region (redact.py:169-193),
+    lifted from within-document box coverage to corpus-wide token-span
+    coverage.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    empty_int_arr = F.array().cast("array<int>")
+    ws = F.split(F.col(text_col), r"\s+")
+    n = F.size(ws)
+    # guard n < k: sequence(0, n-k) would DESCEND into negatives
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(empty_int_arr)
+    gram_hashes = F.transform(
+        starts, lambda i: F.xxhash64(F.array_join(F.slice(ws, i + 1, k), " "))
+    )
+    slim = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(gram_hashes).alias("pos", "h"),
+    )
+    boiler = (
+        slim.select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        slim.join(boiler, "h")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("ci"))
+        .groupBy("id")
+        .agg(F.collect_set("ci").alias("cov"))
+        .withColumnRenamed("id", "__cov_id")
+    )
+    cov_arr = F.coalesce(F.col("cov"), empty_int_arr)
+    kept = F.filter(ws, lambda tok, i: ~F.array_contains(cov_arr, i))
+    return (
+        df.join(covered, F.col(id_col) == F.col("__cov_id"), "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_clean"),
+            n.cast("long").alias("n_tokens"),
+            (n - F.size(cov_arr)).cast("long").alias("n_kept"),
+        )
+    )

@@ -490,3 +490,85 @@ class TestCorpusLineDedup:
             out[i]["text_clean"] == t for i, t in [(j + 1, r[1]) for j, r in enumerate(self.ROWS)]
         )
         assert all(out[i]["n_lines"] == out[i]["n_kept"] for i in out)
+
+
+class TestRepeatedSpanDedup:
+    """Cross-document exact substring (repeated-span) dedup — the Lee
+    et al. 2022 span remover at word-k-gram granularity."""
+
+    SHARED = "alpha beta gamma delta"  # a 4-gram planted in docs 1-3
+    ROWS = [
+        (1, "one two three alpha beta gamma delta four five"),
+        (2, "alpha beta gamma delta six seven eight nine"),
+        (3, "ten alpha beta gamma delta"),
+        (4, "totally unique words that repeat nowhere at all"),
+        (5, "alpha beta gamma delta"),  # fully covered -> empty text
+        (6, "tiny doc"),  # shorter than k: no grams, untouched
+    ]
+
+    def _run(self, spark, **kw):
+        from pii_redaction_data_pipeline_spark.operators.dedup import (
+            repeated_span_dedup,
+        )
+
+        kw.setdefault("k", 4)
+        kw.setdefault("min_docs", 2)
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        return {r["doc_id"]: r for r in repeated_span_dedup(df, **kw).collect()}
+
+    def test_cuts_shared_span_keeps_unique_context(self, spark):
+        out = self._run(spark)
+        assert len(out) == 6  # every document row survives
+        assert out[1]["text_clean"] == "one two three four five"
+        assert (out[1]["n_tokens"], out[1]["n_kept"]) == (9, 5)
+        assert out[2]["text_clean"] == "six seven eight nine"
+        assert out[3]["text_clean"] == "ten"
+
+    def test_unique_doc_untouched(self, spark):
+        out = self._run(spark)
+        assert out[4]["text_clean"] == self.ROWS[3][1]
+        assert out[4]["n_tokens"] == out[4]["n_kept"] == 8
+
+    def test_fully_covered_doc_survives_empty(self, spark):
+        out = self._run(spark)
+        assert out[5]["text_clean"] == ""
+        assert (out[5]["n_tokens"], out[5]["n_kept"]) == (4, 0)
+
+    def test_doc_shorter_than_k_never_marked(self, spark):
+        out = self._run(spark)
+        assert out[6]["text_clean"] == "tiny doc"
+        assert (out[6]["n_tokens"], out[6]["n_kept"]) == (2, 2)
+
+    def test_overlapping_hits_coalesce_into_maximal_span(self, spark):
+        # docs share a 6-token run: with k=4 the three overlapping grams
+        # must union into ONE maximal 6-token cut, not 3x4 double-counts
+        rows = [
+            (1, "x a b c d e f y"),
+            (2, "a b c d e f"),
+        ]
+        from pii_redaction_data_pipeline_spark.operators.dedup import (
+            repeated_span_dedup,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in repeated_span_dedup(df, k=4).collect()}
+        assert out[1]["text_clean"] == "x y"
+        assert (out[1]["n_tokens"], out[1]["n_kept"]) == (8, 2)
+        assert out[2]["text_clean"] == ""
+
+    def test_min_docs_threshold(self, spark):
+        out = self._run(spark, min_docs=4)  # the 4-gram spans 4 docs (1,2,3,5)
+        assert out[1]["text_clean"] == "one two three four five"
+        out = self._run(spark, min_docs=5)  # threshold above support: no cuts
+        assert all(out[i]["n_tokens"] == out[i]["n_kept"] for i in out)
+
+    def test_k_must_be_positive(self, spark):
+        import pytest as _pytest
+
+        from pii_redaction_data_pipeline_spark.operators.dedup import (
+            repeated_span_dedup,
+        )
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="k must be >= 1"):
+            repeated_span_dedup(df, k=0)

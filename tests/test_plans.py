@@ -274,3 +274,22 @@ def test_line_dedup_text_never_enters_an_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "BroadcastExchange" not in line:
             assert "text#" not in line, line
+
+
+def test_repeated_span_text_never_enters_an_exchange(spark):
+    """repeated_span_dedup's scale contract mirrors corpus_line_dedup:
+    gram detection ships only (xxhash64, id) pairs, covered token
+    INDICES come back as one int array per document, and the rebuild
+    left-join broadcasts that array — so no shuffle Exchange in the plan
+    may carry the text column."""
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = plan_of(repeated_span_dedup(docs, k=8, min_docs=2))
+    assert "SortMergeJoin" not in plan  # both joins broadcast here
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "text#" not in line, line
