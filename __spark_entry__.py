@@ -2554,7 +2554,7 @@ PRUNED_ORACLES = {
     # STRINGS via a per-token index union, rebuild via list comprehension
     "repeated_span": r"""
         WITH words AS (
-            SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+            SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS w
             FROM documents),
         grams AS (
             SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
@@ -2570,10 +2570,11 @@ PRUNED_ORACLES = {
                 LATERAL (SELECT unnest(range(0, 8)) AS j) j)
             GROUP BY doc_id)
         SELECT w.doc_id,
-            coalesce(array_to_string(
-                [w.w[i] FOR i IN range(1, len(w.w) + 1)
-                 IF NOT coalesce(list_contains(c.cov, i - 1), false)],
-                ' '), '') AS text_clean,
+            CASE WHEN c.cov IS NULL THEN w.text  -- untouched: byte-identical
+                 ELSE coalesce(array_to_string(
+                    [w.w[i] FOR i IN range(1, len(w.w) + 1)
+                     IF NOT list_contains(c.cov, i - 1)],
+                    ' '), '') END AS text_clean,
             len(w.w)::BIGINT AS n_tokens,
             (len(w.w) - coalesce(len(c.cov), 0))::BIGINT AS n_kept
         FROM words w LEFT JOIN cover c USING (doc_id)

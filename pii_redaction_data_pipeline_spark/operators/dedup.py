@@ -585,12 +585,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by simhash signature: vectorized signature UDF,
     then the recall-complete multi-table banding of simhash_sig_pairs
-    (distinct-signature buckets, wide keys, exact JVM hamming verify)."""
+    (distinct-signature buckets, wide keys, exact JVM hamming verify).
+
+    persist_signatures: simhash_sig_pairs references the signature
+    frame from SIX subplans (distinct-sig banding lhs/rhs, the two
+    id-expansion joins, both sides of the identical-signature
+    self-join). Without a persist, each branch would re-run the pandas
+    signature UDF over the full corpus text — the single most expensive
+    stage, executed ~6x. The default persists (id, sh) — 16 B/doc, not
+    text — MEMORY_AND_DISK, computed once; the frame stays cached for
+    the session (same trade MLlib makes for iteratively-reused inputs;
+    `spark.catalog.clearCache()` reclaims it). Pass False only when the
+    caller has already materialized signatures itself."""
     sim = make_simhash_udf()
     sdf = df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh"))
+    if persist_signatures:
+        sdf = sdf.persist()
     return simhash_sig_pairs(sdf, max_hamming, n_blocks)
 
 
@@ -816,6 +830,14 @@ def repeated_span_dedup(
     exact whitespace-split words; no normalization, because the operator
     family contract is EXACT substring identity.
 
+    Whitespace contract: a document with NO covered tokens passes
+    through BYTE-IDENTICAL (original text, not a split/re-join). A
+    document that WAS cut is rebuilt by joining surviving tokens with
+    single spaces — runs of whitespace/newlines inside it collapse.
+    That is the operator's one stated loss mode (it works on token
+    sequences, as Lee et al. do); run it AFTER line-structure-dependent
+    ops like corpus_line_dedup, never before.
+
     Reference analog: the processed-boxes membership set that prevents
     re-redaction of an already-covered region (redact.py:169-193),
     lifted from within-document box coverage to corpus-wide token-span
@@ -852,11 +874,15 @@ def repeated_span_dedup(
     )
     cov_arr = F.coalesce(F.col("cov"), empty_int_arr)
     kept = F.filter(ws, lambda tok, i: ~F.array_contains(cov_arr, i))
+    # untouched documents pass through byte-identical (no split/re-join)
+    clean = F.when(F.size(cov_arr) == 0, F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
     return (
         df.join(covered, F.col(id_col) == F.col("__cov_id"), "left")
         .select(
             F.col(id_col),
-            F.array_join(kept, " ").alias("text_clean"),
+            clean.alias("text_clean"),
             n.cast("long").alias("n_tokens"),
             (n - F.size(cov_arr)).cast("long").alias("n_kept"),
         )

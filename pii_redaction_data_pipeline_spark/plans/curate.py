@@ -142,16 +142,29 @@ def dedup_survivor_convs(
     # a user-specified repartition is exempt from advisory coalescing
     n_parts = transcripts.sparkSession.sparkContext.defaultParallelism * 2
 
-    def materialize(frame: DataFrame, name: str) -> DataFrame:
+    def materialize(
+        frame: DataFrame, name: str, repartition_on: str | None = None
+    ) -> DataFrame:
         if checkpoint_dir is None:
+            # localCheckpoint preserves the frame's partitioning as-is
             return frame.localCheckpoint(eager=True)
         path = f"{checkpoint_dir.rstrip('/')}/{name}"
         frame.write.mode("overwrite").parquet(path)
-        return frame.sparkSession.read.parquet(path)
+        out = frame.sparkSession.read.parquet(path)
+        if repartition_on is not None:
+            # the parquet round-trip DISCARDS the writer's partitioning:
+            # file bin-packing (maxPartitionBytes/openCost) coalesces the
+            # small per-partition files into a handful of read splits,
+            # which would serialize the signature pass downstream — the
+            # exact collapse the pre-write repartition exists to prevent.
+            # Re-apply it on the read-back frame (hash/int rows, cheap).
+            out = out.repartition(n_parts, repartition_on)
+        return out
 
     sh = materialize(
         conversation_turn_shingles(convs).repartition(n_parts, "conv_id"),
         "dedup_shingles",
+        repartition_on="conv_id",
     )
     pairs = materialize(
         _shingle_neardup_pairs(sh, jaccard_threshold, est_margin=est_margin),
@@ -256,21 +269,25 @@ def run_curation(
     ran: list[str] = []
 
     # --- stage 1: annotate (per-bucket resume inside run_pipeline) ---
-    pre_shuffle_partitions = spark.conf.get("spark.sql.shuffle.partitions")
-    if "annotate" not in done:
-        run_pipeline(
-            spark, input_path, paths["annotated"], paths["lineage"],
-            run_id=run_id, cfg=cfg,
-        )
-        mark("annotate", cfg.n_buckets)
-        ran.append("annotate")
     # run_pipeline retunes spark.sql.shuffle.partitions to the CORPUS
     # byte volume (right for annotate's conv_id exchange); the
     # post-annotate stages shuffle far less (verdict rollup rows, conv-id
     # lists, pack's 128 bucket groups) and measurably pay for the extra
     # partitions (~+3 s on the pack stage at bench scale) — restore the
-    # caller's setting for the rest of the DAG
-    spark.conf.set("spark.sql.shuffle.partitions", pre_shuffle_partitions)
+    # caller's setting for the rest of the DAG, and restore it even when
+    # annotate CRASHES (the retuned value must not leak into the
+    # caller's long-lived session through the resume path)
+    pre_shuffle_partitions = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if "annotate" not in done:
+            run_pipeline(
+                spark, input_path, paths["annotated"], paths["lineage"],
+                run_id=run_id, cfg=cfg,
+            )
+            mark("annotate", cfg.n_buckets)
+            ran.append("annotate")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", pre_shuffle_partitions)
 
     # one cached frame shared by stages 2 and 5, PROJECTED to exactly the
     # union of the columns they read (verdict: conv_id+keep; pack adds

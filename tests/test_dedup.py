@@ -572,3 +572,25 @@ class TestRepeatedSpanDedup:
         df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
         with _pytest.raises(ValueError, match="k must be >= 1"):
             repeated_span_dedup(df, k=0)
+
+    def test_untouched_doc_keeps_exact_whitespace(self, spark):
+        # a doc with NO covered tokens must pass through byte-identical —
+        # newlines, tabs, runs of spaces intact (the split/re-join path
+        # applies only to documents that were actually cut)
+        structured = "line one\n\tline  two\n\nline three"
+        rows = [
+            (1, structured),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zz alpha beta gamma delta epsilon yy"),
+        ]
+        from pii_redaction_data_pipeline_spark.operators.dedup import (
+            repeated_span_dedup,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in repeated_span_dedup(df, k=5).collect()}
+        assert out[1]["text_clean"] == structured  # byte-identical
+        assert out[1]["n_tokens"] == out[1]["n_kept"] == 6
+        # cut docs are token-rebuilt (stated loss mode)
+        assert out[2]["text_clean"] == ""
+        assert out[3]["text_clean"] == "zz yy"

@@ -679,20 +679,31 @@ class TestGopherRepetitionPanel:
         )
 
         df = spark.createDataFrame(
-            [(1, "a b\na b\nc"), (2, "u\nv\nw"), (3, "")],
+            [(1, "a b\na b\nc"), (2, "u\nv\nw"), (3, ""), (4, None),
+             (5, "x\nx\nx\nyyyy")],
             ["doc_id", "text"],
         )
         rows = {
             r["doc_id"]: r
             for r in with_repetition_columns(df, ns=(2,)).collect()
         }
+        # excess-occurrence semantics (find_duplicates): the first copy
+        # of "a b" is content, the second is duplication -> 3 chars of 9
+        # total (len(text), newlines included)
         assert rows[1]["dup_line_frac"] == pytest.approx(1 / 3)
-        assert rows[1]["dup_line_char_frac"] == pytest.approx(6 / 7)
+        assert rows[1]["dup_line_char_frac"] == pytest.approx(3 / 9)
         assert rows[2]["dup_line_frac"] == 0.0
         assert rows[2]["dup_line_char_frac"] == 0.0
         # empty text -> one empty line, no duplicates, zero chars
         assert rows[3]["dup_line_frac"] == 0.0
         assert rows[3]["dup_line_char_frac"] == 0.0
+        # NULL text coerces to '' — never a NULL fraction that would
+        # silently escape a threshold comparison
+        assert rows[4]["dup_line_frac"] == 0.0
+        assert rows[4]["dup_line_char_frac"] == 0.0
+        # triple occurrence charges TWO excess copies: 2 of 10 chars
+        assert rows[5]["dup_line_frac"] == pytest.approx(2 / 4)
+        assert rows[5]["dup_line_char_frac"] == pytest.approx(2 / 10)
 
     def test_panel_is_one_arrow_stage(self, spark):
         """All three n-gram UDF columns must batch into a single
