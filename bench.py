@@ -122,7 +122,7 @@ def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
 
     n_turns = pq.read_metadata(transcripts_path).num_rows
     t0 = time.time()
-    run_curation(
+    summary = run_curation(
         spark, transcripts_path, out_dir, run_id="bench",
         ccfg=CurationConfig(pack_buckets=128),
     )
@@ -131,6 +131,7 @@ def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
         "turns": n_turns,
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
+        "stage_walls_sec": summary.get("stage_walls_sec", {}),
     }
 
 

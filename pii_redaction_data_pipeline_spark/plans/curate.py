@@ -267,6 +267,13 @@ def run_curation(
 
     done = done_stages()
     ran: list[str] = []
+    stage_walls: dict[str, float] = {}
+    _tick_from = [time.monotonic()]
+
+    def tick(stage: str) -> None:
+        now = time.monotonic()
+        stage_walls[stage] = round(now - _tick_from[0], 3)
+        _tick_from[0] = now
 
     # --- stage 1: annotate (per-bucket resume inside run_pipeline) ---
     # run_pipeline retunes spark.sql.shuffle.partitions to the CORPUS
@@ -286,6 +293,7 @@ def run_curation(
             )
             mark("annotate", cfg.n_buckets)
             ran.append("annotate")
+            tick("annotate")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", pre_shuffle_partitions)
 
@@ -318,6 +326,7 @@ def run_curation(
             )
             mark("conv_verdict", write_counted(cv, paths["conv_verdict"]))
             ran.append("conv_verdict")
+            tick("conv_verdict")
 
         # --- stage 3: conversation near-dup dedup ---
         if "conv_dedup" not in done:
@@ -341,6 +350,7 @@ def run_curation(
             )
             mark("conv_dedup", write_counted(surv, paths["survivor_convs"]))
             ran.append("conv_dedup")
+            tick("conv_dedup")
 
         # --- stage 4: deterministic downsample ---
         if "sample" not in done:
@@ -350,6 +360,7 @@ def run_curation(
             )
             mark("sample", write_counted(sampled, paths["sampled_convs"]))
             ran.append("sample")
+            tick("sample")
 
         # --- stage 5: sequence packing of the curated turns ---
         if "pack" not in done:
@@ -369,6 +380,7 @@ def run_curation(
             )
             mark("pack", write_counted(packed, paths["packed"]))
             ran.append("pack")
+            tick("pack")
     finally:
         if annotated is not None and len(stages_needing_annotated) == 2:
             annotated.unpersist()
@@ -376,6 +388,7 @@ def run_curation(
     summary = {
         "run_id": run_id,
         "stages_ran": ran,
+        "stage_walls_sec": stage_walls,
         "stages_skipped": sorted(done),
         "paths": paths,
     }
