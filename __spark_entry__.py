@@ -1393,6 +1393,59 @@ def q_winnow_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling data selection (Xie et al. 2023),
+    ORACLE-CHECKED on the exact-gram truth path: target = the doc_id%5==1
+    carve of the corpus (deterministic, like decontaminate's benchmark
+    carve), features = word uni+bigrams, add-1 smoothing over the union
+    vocabulary, per-doc weight = sum c_g * log(p_tgt/p_raw), top-60 by
+    (weight desc, doc_id) selected. Spark reduces grams to xxhash64
+    before any exchange (operators/dsir.py); the DuckDB oracle recomputes
+    from the gram STRINGS — equality of weights (rounded to 4) and of
+    the selected set is the no-collision witness. The bucketed broadcast
+    scale path (n_buckets, zero vocabulary-sized joins) is pytest-pinned
+    against this exact path in tests/test_dsir.py."""
+    from pii_redaction_data_pipeline_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    target = docs.filter(F.col("doc_id") % 5 == 1).select("text")
+    return (
+        dsir_select(docs, target, k_top=60)
+        .select("doc_id", "n_grams", "weight", "selected")
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents WHERE doc_id < 300),
+    grams AS (
+        SELECT doc_id, G.g FROM norm,
+        LATERAL (SELECT unnest(
+            w || CASE WHEN len(w) >= 2
+                 THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                 ELSE CAST([] AS VARCHAR[]) END) AS g) AS G),
+    tgt AS (SELECT g, count(*) AS ct FROM grams WHERE doc_id % 5 = 1 GROUP BY g),
+    raw AS (SELECT g, count(*) AS cr FROM grams GROUP BY g),
+    stats AS (
+        SELECT coalesce(t.g, r.g) AS g,
+               coalesce(t.ct, 0) AS ct, coalesce(r.cr, 0) AS cr
+        FROM tgt t FULL JOIN raw r ON t.g = r.g),
+    tot AS (SELECT sum(ct) AS tot_t, sum(cr) AS tot_r, count(*) AS vocab FROM stats),
+    lr AS (SELECT g, ln((ct + 1.0) / (tot_t + vocab))
+                    - ln((cr + 1.0) / (tot_r + vocab)) AS logr
+           FROM stats, tot),
+    docg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    wt AS (
+        SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_grams,
+               round(sum(d.c * l.logr), 4) AS weight
+        FROM docg d JOIN lr l ON d.g = l.g GROUP BY d.doc_id),
+    rk AS (SELECT *, row_number() OVER (ORDER BY weight DESC, doc_id) AS rn FROM wt)
+    SELECT doc_id, n_grams, weight, rn <= 60 AS selected FROM rk ORDER BY doc_id
+"""
+
+
 def q_multimodal_decode_stub(spark, sf_dir):
     """Stubbed media decode via mapInPandas (schema/batch plumbing real).
 
@@ -1803,7 +1856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     chain. Late round 4 pruned tpch_q6 (the scan-filter-agg family keeps
     tpch_q1, p4_time_range, and the plan-shape pytest pin in
     tests/test_plans.py) — slot reused for line_dedup, the CCNet-style
-    corpus-level boilerplate-line removal operator."""
+    corpus-level boilerplate-line removal operator — and
+    winnow_fingerprint (the text-fingerprint family keeps token_count;
+    the mod-p winnowing oracle stays value-checked in the pruned suite)
+    — slot reused for dsir_select, the DSIR importance-resampling
+    data-selection gate."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -1862,8 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_full": q_curate_full,
         # greedy segmentation/packing (recursive-CTE oracle)
         "segment_pack": q_segment_pack,
-        # winnowing fingerprints (mod-p hash, SQL-replayable oracle)
-        "winnow_fingerprint": q_winnow_fingerprint,
+        # DSIR importance-resampling selection (exact-gram truth path)
+        "dsir_select": q_dsir_select,
         # rows-only (no oracle: the full UDF pipelines — langid/KN-ppl/
         # Luhn are not SQL-expressible; golden-fixture pytest equality
         # is their value check, SURVEY.md §5)
@@ -2056,7 +2113,7 @@ def _entities_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
-        "winnow_fingerprint": _winnow_sql(),
+        "dsir_select": _DSIR_SQL,
         "transcripts_pipeline": _transcripts_pipeline_oracle(),
     }
     try:
@@ -2545,10 +2602,14 @@ PRUNED_QUERIES = {
     # ngram_jaccard / minhash_lsh / conv_neardup / dup_components /
     # semdedup / decontaminate — the span remover is value-checked here
     "repeated_span": q_repeated_span,
+    # pruned late round 4 (slot reused for dsir_select): mod-p winnowing
+    # stays value-checked here with its original SQL replay
+    "winnow_fingerprint": q_winnow_fingerprint,
 }
 
 PRUNED_ORACLES = {
     "simhash": _NGRAM_TRUTH_SQL,
+    "winnow_fingerprint": _winnow_sql(),
     "ann_lsh": _COSINE_TOPK_SQL,
     # repeated-span dedup re-derived hash-free: coverage from the gram
     # STRINGS via a per-token index union, rebuild via list comprehension
