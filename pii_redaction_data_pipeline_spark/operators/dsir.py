@@ -46,6 +46,7 @@ threshold, so `selected` is computed by a scan, not a global sort.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -122,10 +123,21 @@ def _stats_and_totals(
     return stats, totals
 
 
-def _log_ratio(ct: F.Column, cr: F.Column, alpha: float) -> F.Column:
+def _collect_totals(totals: DataFrame) -> tuple[int, int, int]:
+    """ONE bounded driver action: 3 scalars (the mix_corpora precedent,
+    operators/sampling.py). Folding T/R/V in as literals instead of a
+    1-row crossJoin keeps the totals subtree out of every downstream
+    consumer — without it, lr / unseen / the select threshold each
+    re-derived the full stats aggregation (measured: 14 parquet scans
+    of the corpus in the executed dsir_select plan, 0 reused)."""
+    row = totals.first()
+    return int(row["tot_t"] or 0), int(row["tot_r"] or 0), int(row["vocab"])
+
+
+def _log_ratio(ct: F.Column, cr: F.Column, t: int, r: int, v: int, alpha: float) -> F.Column:
     a = F.lit(float(alpha))
-    return F.log((ct + a) / (F.col("tot_t") + a * F.col("vocab"))) - F.log(
-        (cr + a) / (F.col("tot_r") + a * F.col("vocab"))
+    return F.log((ct + a) / F.lit(t + alpha * v)) - F.log(
+        (cr + a) / F.lit(r + alpha * v)
     )
 
 
@@ -141,11 +153,12 @@ def gram_log_ratios(
 
     Smoothing is add-alpha over the UNION vocabulary V (full-outer join
     of the two count tables):  log (c_tgt+a)/(T+aV) - log (c_raw+a)/(R+aV).
-    Totals T, R, V are one scalar aggregation broadcast back (1 row).
+    Building this frame runs ONE bounded job (3 scalar totals).
     """
     stats, totals = _stats_and_totals(target, raw, text_col, ns, n_buckets)
-    return stats.crossJoin(F.broadcast(totals)).select(
-        "g", _log_ratio(F.col("ct"), F.col("cr"), alpha).alias("log_ratio")
+    t, r, v = _collect_totals(totals)
+    return stats.select(
+        "g", _log_ratio(F.col("ct"), F.col("cr"), t, r, v, alpha).alias("log_ratio")
     )
 
 
@@ -176,14 +189,17 @@ def dsir_weights(
     stats, totals = _stats_and_totals(
         target, corpus if raw is None else raw, text_col, ns, n_buckets
     )
-    lr = stats.crossJoin(F.broadcast(totals)).select(
-        "g", _log_ratio(F.col("ct"), F.col("cr"), alpha).alias("log_ratio")
+    t, r, v = _collect_totals(totals)
+    lr = stats.select(
+        "g", _log_ratio(F.col("ct"), F.col("cr"), t, r, v, alpha).alias("log_ratio")
     )
     if n_buckets is not None:
         lr = F.broadcast(lr)
     # unseen-gram fallback (raw-is-a-sample case): both sides at alpha mass
-    unseen = totals.select(
-        _log_ratio(F.lit(0), F.lit(0), alpha).alias("unseen_lr")
+    unseen_lr = (
+        0.0
+        if v == 0  # both corpora gram-free: nothing will ever miss the join
+        else math.log(alpha / (t + alpha * v)) - math.log(alpha / (r + alpha * v))
     )
     doc_grams = (
         corpus.select(
@@ -192,12 +208,13 @@ def dsir_weights(
         .groupBy(id_col, "g")
         .agg(F.count("*").alias("c"))
     )
-    weight = F.sum(F.col("c") * F.coalesce("log_ratio", "unseen_lr"))
+    weight = F.sum(
+        F.col("c") * F.coalesce("log_ratio", F.lit(float(unseen_lr)))
+    )
     if round_to is not None:
         weight = F.round(weight, round_to)
     return (
         doc_grams.join(lr, "g", "left")
-        .crossJoin(F.broadcast(unseen))
         .groupBy(id_col)
         .agg(F.sum("c").alias("n_grams"), weight.alias("weight"))
     )
@@ -219,10 +236,16 @@ def dsir_select(
     (weight desc, id asc) get selected=true. Deterministic under ties
     (numeric id_col required for the tie-break) and partitioning-
     independent. The k-th row is found via TakeOrdered + 1-row
-    broadcast — no global sort of the corpus."""
+    broadcast — no global sort of the corpus.
+
+    The scored frame is consumed twice (threshold, flag); a lazy
+    localCheckpoint truncates its lineage so the gram pipeline runs
+    ONCE and the second pass reads the ~24-byte/doc cached rows (the
+    components.py precedent — same executor-loss caveat, acceptable
+    for a recomputable batch stage)."""
     scored = dsir_weights(
         corpus, target, raw, id_col, text_col, ns, alpha, n_buckets, round_to
-    )
+    ).localCheckpoint(eager=False)
     kth = (
         scored.orderBy(F.desc("weight"), F.asc(id_col))
         .limit(k_top)
