@@ -57,6 +57,7 @@ HEADLINE = [
     "pack_placement",
     "dup_components",
     "decontaminate",
+    "dsir_select",
     "semdedup",
     "pipeline_documents",
 ]
