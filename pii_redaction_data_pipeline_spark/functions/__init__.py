@@ -11,6 +11,7 @@ from pii_redaction_data_pipeline_spark.functions.perplexity import (
     CharTrigramLM,
     default_model,
     make_ppl_udf,
+    train_char_trigram_lm,
 )
 from pii_redaction_data_pipeline_spark.functions.quality import (
     repetition_frac_series,
@@ -27,6 +28,7 @@ __all__ = [
     "CharTrigramLM",
     "default_model",
     "make_ppl_udf",
+    "train_char_trigram_lm",
     "repetition_frac_series",
     "make_repetition_udf",
     "with_heuristic_columns",

@@ -77,7 +77,20 @@ class CharTrigramLM:
         ids = _ids(" " + corpus.lower().replace("\n", " ") + " ")
         tri = np.zeros((V, V, V), dtype=np.float64)
         np.add.at(tri, (ids[:-2], ids[1:-1], ids[2:]), 1.0)
+        self._fit(tri)
 
+    @classmethod
+    def from_counts(cls, tri: np.ndarray) -> "CharTrigramLM":
+        """Build the KN tables from a [V,V,V] trigram count tensor —
+        the entry point for `train_char_trigram_lm`'s distributed
+        counting path."""
+        if tri.shape != (V, V, V):
+            raise ValueError(f"expected ({V},{V},{V}) counts, got {tri.shape}")
+        lm = cls.__new__(cls)
+        lm._fit(tri.astype(np.float64, copy=False))
+        return lm
+
+    def _fit(self, tri: np.ndarray) -> None:
         bi_cont = (tri > 0).sum(axis=0).astype(np.float64)  # N1+(. w2 w3)
         uni_cont = (bi_cont > 0).sum(axis=0).astype(np.float64)  # N1+(. . w3)
         n_bigram_types = max(uni_cont.sum(), 1.0)
@@ -162,23 +175,95 @@ def default_model() -> CharTrigramLM:
     return _DEFAULT
 
 
-def make_ppl_udf(spark=None):
+def row_trigram_counts(texts: pd.Series) -> np.ndarray:
+    """Flat [V^3] float64 trigram counts over a batch of rows, each row
+    padded ' '+t+' ' like the scoring path (trigrams never straddle two
+    rows). Shared by the distributed trainer and its test reference."""
+    vals = [
+        (" " + (t or "") + " ").lower().encode("latin-1", "replace")
+        for t in texts.fillna("")
+    ]
+    if not vals:
+        return np.zeros(V * V * V, dtype=np.float64)
+    lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=len(vals))
+    ids = _BYTE_TO_ID[np.frombuffer(b"".join(vals), dtype=np.uint8)]
+    total = len(ids)
+    if total < 3:
+        return np.zeros(V * V * V, dtype=np.float64)
+    idx = (
+        ids[:-2].astype(np.int64) * (V * V)
+        + ids[1:-1].astype(np.int64) * V
+        + ids[2:]
+    )
+    # trigram start positions 0..total-3; the 2 starts before each row
+    # boundary straddle rows — mask them out
+    mask = np.ones(total - 2, dtype=bool)
+    ends = np.cumsum(lens)
+    for off in (1, 2):
+        bad = ends - off  # start positions whose trigram crosses ends
+        bad = bad[(bad >= 0) & (bad < total - 2)]
+        mask[bad] = False
+    return np.bincount(idx[mask], minlength=V * V * V).astype(np.float64)
+
+
+def train_char_trigram_lm(df, text_col: str = "text") -> CharTrigramLM:
+    """Train the KN char-trigram LM ON THE CORPUS ITSELF, distributed —
+    the alternative to the embedded-corpus `default_model` when the
+    domain register differs (e.g. code-heavy or non-support transcripts).
+
+    Scale shape: mapInPandas accumulates a dense V^3 count vector per
+    batch and emits only its NONZERO cells, so each task contributes
+    <= V^3 (~118k) sparse rows no matter how many terabytes it read;
+    the groupBy(idx) partial agg combines map-side and the driver
+    collect is bounded by V^3 rows (~2 MB) — bounded-collect precedent
+    of operators/components.py. Each row counts as an independent
+    ' '-padded sequence (the scoring convention), so the result is
+    partitioning- and order-independent.
+    """
+    from pyspark.sql import functions as SF
+
+    def count_parts(batches):
+        tri = np.zeros(V * V * V, dtype=np.float64)
+        col = None
+        for pdf in batches:
+            col = pdf.columns[0] if col is None else col
+            tri += row_trigram_counts(pdf[col])
+        nz = np.nonzero(tri)[0]
+        yield pd.DataFrame({"idx": nz.astype(np.int64), "cnt": tri[nz].astype(np.int64)})
+
+    counts = (
+        df.select(text_col)
+        .mapInPandas(count_parts, "idx long, cnt long")
+        .groupBy("idx")
+        .agg(SF.sum("cnt").alias("cnt"))
+    )
+    tri = np.zeros(V * V * V, dtype=np.float64)
+    for row in counts.collect():  # bounded: <= V^3 rows
+        tri[row["idx"]] = row["cnt"]
+    return CharTrigramLM.from_counts(tri.reshape(V, V, V))
+
+
+def make_ppl_udf(spark=None, model: CharTrigramLM | None = None):
     """pandas UDF: text -> ppl double.
 
     The log-prob table is broadcast once (SparkContext.broadcast) instead
     of being pickled into every task closure; each executor rebuilds the
-    lightweight LM wrapper around the shared ndarray.
+    lightweight LM wrapper around the shared ndarray. Pass `model` to
+    score with a corpus-trained LM (train_char_trigram_lm) instead of
+    the embedded-corpus default.
     """
+    src = model if model is not None else None
     bc = None
     if spark is not None:
-        bc = spark.sparkContext.broadcast(default_model().logp)
+        logp = (src or default_model()).logp
+        bc = spark.sparkContext.broadcast(logp)
 
     @F.pandas_udf(T.DoubleType())
     def ppl_udf(texts: pd.Series) -> pd.Series:
-        model = default_model()
+        m = src if src is not None else default_model()
         if bc is not None:
-            model = CharTrigramLM.__new__(CharTrigramLM)
-            model.logp = bc.value
-        return model.ppl_series(texts)
+            m = CharTrigramLM.__new__(CharTrigramLM)
+            m.logp = bc.value
+        return m.ppl_series(texts)
 
     return ppl_udf

@@ -1,0 +1,120 @@
+"""Distributed KN trigram trainer: count parity, partition invariance,
+and corpus-trained scoring through the broadcast UDF.
+
+The reference trains nothing (its quality verdict is an external
+service, SURVEY.md D5); `train_char_trigram_lm` is the Spark-native
+path for fitting the fluency model ON the corpus being filtered —
+sparse per-task counts, map-side-combined groupBy, bounded <=V^3-row
+collect, then the same broadcast-table scoring as `default_model`.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pii_redaction_data_pipeline_spark.functions.perplexity import (
+    TRAIN_CORPUS,
+    V,
+    CharTrigramLM,
+    _ids,
+    default_model,
+    make_ppl_udf,
+    row_trigram_counts,
+    train_char_trigram_lm,
+)
+
+TEXTS = [
+    "hello, how can i help you today?",
+    "please restart the service and tell me whether the error appears.",
+    "the quick brown fox jumps over the lazy dog",
+    "",
+    "a",
+    "zz",
+    "Order 12345 SHIPPED on 2024-01-02 !!",
+    "unicode éü— falls into the OOV bucket",
+    None,
+    "tool output for the search returned 12 items with status complete.",
+]
+
+
+def _reference_counts(texts) -> np.ndarray:
+    """Brute-force per-row counting: each row is an independent
+    ' '-padded sequence, exactly the scoring convention."""
+    tri = np.zeros((V, V, V), dtype=np.float64)
+    for t in texts:
+        ids = _ids((" " + (t or "") + " ").lower())
+        if len(ids) >= 3:
+            np.add.at(tri, (ids[:-2], ids[1:-1], ids[2:]), 1.0)
+    return tri
+
+
+def test_row_trigram_counts_matches_per_row_reference():
+    got = row_trigram_counts(pd.Series(TEXTS, dtype=object))
+    want = _reference_counts(TEXTS).reshape(-1)
+    assert got.shape == (V * V * V,)
+    assert np.array_equal(got, want), np.abs(got - want).sum()
+
+
+def test_row_trigram_counts_empty_batch():
+    assert row_trigram_counts(pd.Series([], dtype=object)).sum() == 0.0
+
+
+def test_from_counts_matches_init_path():
+    ids = _ids(" " + TRAIN_CORPUS.lower().replace("\n", " ") + " ")
+    tri = np.zeros((V, V, V), dtype=np.float64)
+    np.add.at(tri, (ids[:-2], ids[1:-1], ids[2:]), 1.0)
+    a = CharTrigramLM(TRAIN_CORPUS)
+    b = CharTrigramLM.from_counts(tri)
+    assert np.array_equal(a.logp, b.logp)
+
+
+def test_from_counts_rejects_bad_shape():
+    with pytest.raises(ValueError):
+        CharTrigramLM.from_counts(np.zeros((2, 2, 2)))
+
+
+def test_distributed_trainer_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(t,) for t in TEXTS if t is not None], "text string"
+    )
+    lm1 = train_char_trigram_lm(df.repartition(1))
+    lm7 = train_char_trigram_lm(df.repartition(7))
+    want = CharTrigramLM.from_counts(
+        _reference_counts([t for t in TEXTS if t is not None])
+    )
+    assert np.array_equal(lm1.logp, lm7.logp)
+    assert np.array_equal(lm1.logp, want.logp)
+
+
+def test_trained_model_through_broadcast_udf(spark):
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame([(t,) for t in TEXTS[:8] if t], "text string")
+    lm = train_char_trigram_lm(corpus)
+    udf = make_ppl_udf(spark, model=lm)
+    rows = (
+        corpus.withColumn("ppl", udf(F.col("text")))
+        .orderBy("text")
+        .collect()
+    )
+    want = lm.ppl_series(pd.Series(sorted(t for t in TEXTS[:8] if t)))
+    for r, w in zip(rows, want):
+        assert abs(r["ppl"] - w) <= 1e-6 * max(w, 1.0), (r["text"][:40], r["ppl"], w)
+
+
+def test_corpus_trained_model_prefers_its_register(spark):
+    """A model trained on the in-domain corpus scores in-domain text
+    at least as fluent as the embedded-corpus default does, and still
+    separates gibberish."""
+    in_domain = [
+        "the nightly job wrote 90 files and finished with code 0.",
+        "i have refunded the charge and you should see it in three days.",
+    ] * 20
+    df = spark.createDataFrame([(t,) for t in in_domain], "text string")
+    lm = train_char_trigram_lm(df)
+    s = pd.Series(in_domain[:2])
+    trained = lm.ppl_series(s)
+    gib = lm.ppl_series(pd.Series(["qzxv jkwq pfzt xbgk vrmq zzkt"]))
+    assert (trained < gib.iloc[0]).all(), (trained.tolist(), gib.tolist())
+    base = default_model().ppl_series(s)
+    assert (trained <= base * 1.05).all(), (trained.tolist(), base.tolist())
