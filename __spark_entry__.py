@@ -1002,29 +1002,11 @@ def q_pipeline_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _independent_kn_logp():
-    """Pure-Python re-derivation of the KN char-trigram log-prob table.
+def _independent_ids_of():
+    """byte->id mapper re-declared from the model's ALPHABET data alone
+    (shared by the embedded-corpus and corpus-trained oracles)."""
+    from pii_redaction_data_pipeline_spark.functions.perplexity import ALPHABET
 
-    Imports ONLY the model's declared data (alphabet, discount, training
-    corpus) from functions/perplexity — none of its numeric code. Counts
-    are dict-based, probabilities are plain float64 Python arithmetic in
-    the same element-wise formula order as the production numpy build
-    (all reductions are integer-valued, hence exact in either engine),
-    and the result is quantized to the model's declared float32 table
-    precision. tests/test_functions.py pins this table bit-equal to the
-    production one, so a bug in CharTrigramLM.__init__ surfaces as a
-    parity failure there AND an oracle mismatch here."""
-    import math
-
-    import numpy as np
-
-    from pii_redaction_data_pipeline_spark.functions.perplexity import (
-        ALPHABET,
-        TRAIN_CORPUS,
-    )
-
-    D = 0.75  # the model's declared KN discount
-    V = len(ALPHABET) + 1
     OOV = len(ALPHABET)
     byte_to_id = {}
     for i, c in enumerate(ALPHABET):
@@ -1038,10 +1020,45 @@ def _independent_kn_logp():
             for b in text.encode("latin-1", "replace")
         ]
 
+    return ids_of
+
+
+def _independent_kn_logp():
+    """Pure-Python re-derivation of the KN char-trigram log-prob table.
+
+    Imports ONLY the model's declared data (alphabet, discount, training
+    corpus) from functions/perplexity — none of its numeric code. Counts
+    are dict-based, probabilities are plain float64 Python arithmetic in
+    the same element-wise formula order as the production numpy build
+    (all reductions are integer-valued, hence exact in either engine),
+    and the result is quantized to the model's declared float32 table
+    precision. tests/test_functions.py pins this table bit-equal to the
+    production one, so a bug in CharTrigramLM.__init__ surfaces as a
+    parity failure there AND an oracle mismatch here."""
+    from pii_redaction_data_pipeline_spark.functions.perplexity import TRAIN_CORPUS
+
+    ids_of = _independent_ids_of()
     ids = ids_of(" " + TRAIN_CORPUS.lower().replace("\n", " ") + " ")
     tri: dict[tuple[int, int, int], int] = {}
     for a, b, c in zip(ids, ids[1:], ids[2:]):
         tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    return _independent_kn_fit(tri), ids_of
+
+
+def _independent_kn_fit(tri):
+    """KN fit from a dict of trigram counts — the numeric half of
+    _independent_kn_logp, factored out so the corpus-trained oracle
+    (_ppl_trained_oracle) can fit from per-row counts. Same float64
+    element-wise formula order as CharTrigramLM._fit, quantized to the
+    model's declared float32 table precision."""
+    import math
+
+    import numpy as np
+
+    from pii_redaction_data_pipeline_spark.functions.perplexity import ALPHABET
+
+    D = 0.75  # the model's declared KN discount
+    V = len(ALPHABET) + 1
 
     # continuation counts
     bi_cont: dict[tuple[int, int], int] = {}  # N1+(. w2 w3)
@@ -1099,7 +1116,7 @@ def _independent_kn_logp():
                 logp[a, b, c] = np.float32(
                     math.log(p) if p > 1e-12 else math.log(1e-12)
                 )
-    return logp, ids_of
+    return logp
 
 
 def _independent_ppl(texts) -> list[float]:
@@ -1267,6 +1284,84 @@ def _pipeline_documents_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
         + ",".join(rows)
         + ") AS t(doc_id, lang, lang_conf_e4, ppl_e4, keep, drop_reasons,"
         " scrub_md5, scrub_counts) ORDER BY doc_id"
+    )
+
+
+def q_ppl_trained(spark, sf_dir):
+    """Corpus-trained KN perplexity, ORACLE-CHECKED: fits the trigram
+    LM ON the documents corpus itself via the distributed counting path
+    (functions/perplexity.train_char_trigram_lm — mapInPandas emits
+    sparse per-task count cells, a map-side-combined groupBy sums them,
+    the driver collect is bounded by V^3 rows), broadcasts the fitted
+    table, and scores every document with it. The oracle re-derives the
+    whole thing scalar (_ppl_trained_oracle: dict-based per-row counts,
+    the pure-Python KN fit of _independent_kn_fit, float64 scoring), so
+    a bug in the distributed counter's row-boundary masking, the sparse
+    aggregation, from_counts, OR the broadcast scoring path breaks the
+    hash match. Generalizes the reference's fixed external scorer
+    (SURVEY.md D5) to in-domain model fitting — the 100 TB shape is one
+    counting pass + one ~400 KB broadcast."""
+    from pii_redaction_data_pipeline_spark.functions.perplexity import (
+        make_ppl_udf,
+        train_char_trigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_char_trigram_lm(docs, "text")
+    udf = make_ppl_udf(spark, model=lm)
+    return docs.select(
+        "doc_id",
+        F.round(udf(F.col("text")) * 10000, 0).cast("long").alias("ppl_e4"),
+    ).orderBy("doc_id")
+
+
+def _ppl_trained_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Independent scalar re-derivation of q_ppl_trained as a VALUES
+    literal: per-row ' '-padded dict trigram counting (vs the production
+    numpy bincount + boundary mask), _independent_kn_fit (pure-Python
+    KN, pinned bit-equal to CharTrigramLM._fit by tests), float64
+    sequential scoring (vs the chunked-cumsum vectorized path; agreement
+    ~1e-13 relative, inside the e4 rounding granularity)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    ids_of = _independent_ids_of()
+    tri: dict[tuple[int, int, int], int] = {}
+    per_doc_ids = []
+    for doc_id, t in docs:
+        ids = ids_of(" " + (t or "").lower() + " ")
+        per_doc_ids.append((doc_id, ids))
+        for a, b, c in zip(ids, ids[1:], ids[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    logp = _independent_kn_fit(tri)
+
+    def e4(x: float) -> int:
+        # replica of Spark round(x*10000, 0) — see _pipeline_documents_oracle
+        return int(
+            Decimal(repr(x * 10000.0)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    rows = []
+    for doc_id, ids in per_doc_ids:
+        if len(ids) < 3:
+            p = 1.0
+        else:
+            s = 0.0
+            for a, b, c in zip(ids, ids[1:], ids[2:]):
+                s += float(logp[a, b, c])
+            p = math.exp(-s / (len(ids) - 2))
+        rows.append(f"({doc_id}, {e4(p)})")
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(ppl_e4 AS BIGINT) AS ppl_e4 FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(doc_id, ppl_e4) ORDER BY doc_id"
     )
 
 
@@ -1926,6 +2021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is their value check, SURVEY.md §5)
         "pipeline_documents": q_pipeline_documents,
         "transcripts_pipeline": q_transcripts_pipeline,
+        # corpus-trained KN perplexity (distributed trigram counting ->
+        # broadcast fit; independent scalar-rederivation oracle)
+        "ppl_trained": q_ppl_trained,
     }
 
 
@@ -2122,6 +2220,11 @@ def oracle_sql() -> dict[str, str]:
         # row, so if the corpus is absent the flagship degrades to the
         # driver's rows-only check instead
         out["pipeline_documents"] = _pipeline_documents_oracle()
+    except Exception:
+        pass
+    try:
+        # same sf0.01 read + degrade-to-rows-only guard
+        out["ppl_trained"] = _ppl_trained_oracle()
     except Exception:
         pass
     try:
