@@ -45,6 +45,17 @@ class PipelineConfig:
     # gibberish bottoms out ~75 — 30 sits safely between.
     max_ppl: float = 30.0
 
+    # Fit the perplexity model ON the input corpus instead of the
+    # embedded English default (functions/perplexity.
+    # train_char_trigram_lm): one extra column-pruned counting pass over
+    # text (each task emits <= V^3 sparse cells; driver collect bounded
+    # at ~2 MB) followed by the same ~400 KB table broadcast. Use when
+    # the corpus register differs from generic support-transcript
+    # English (code-heavy, other domains) — and recalibrate max_ppl:
+    # in-domain text scores LOWER against its own model, so the default
+    # gate becomes more permissive, never less.
+    train_ppl_on_corpus: bool = False
+
     # conversation-window rules
     tool_loop_min_run: int = 3  # >= this many identical consecutive tool turns
 

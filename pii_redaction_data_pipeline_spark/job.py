@@ -83,6 +83,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(on by default; see functions/fused.py normalize_text)",
     )
     p.add_argument(
+        "--train-ppl-on-corpus",
+        action="store_true",
+        help="fit the KN perplexity model on the input corpus itself "
+        "(one extra counting pass + broadcast) instead of the embedded "
+        "English default; recalibrate --max-ppl when using this "
+        "(functions/perplexity.train_char_trigram_lm)",
+    )
+    p.add_argument(
         "--curate-full",
         action="store_true",
         help="run the WHOLE curation DAG (annotate -> conversation "
@@ -117,6 +125,8 @@ def build_config(args: argparse.Namespace):
         overrides["retain_original_text"] = False
     if args.no_normalize_unicode:
         overrides["normalize_unicode"] = False
+    if args.train_ppl_on_corpus:
+        overrides["train_ppl_on_corpus"] = True
     return dataclasses.replace(PipelineConfig(), **overrides) if overrides else PipelineConfig()
 
 

@@ -86,7 +86,22 @@ def annotate(
     normalized-text hash. For resumed/incremental re-processing this
     removes the plan's only corpus-wide shuffle (pinned by
     tests/test_plans.py::test_bucketed_table_windows_need_no_exchange)."""
-    fused_udf = make_annotate_udf(spark, normalize=cfg.normalize_unicode)
+    ppl_model = None
+    if cfg.train_ppl_on_corpus and spark is not None:
+        # Fit the fluency model on THIS corpus (one extra column-pruned
+        # counting pass, bounded sparse aggregation — see config flag
+        # docstring). Trained on the raw text column: normalization only
+        # strips zero-width/control chars, which the closed alphabet
+        # already folds to OOV, so the register the model learns is the
+        # register the scorer sees.
+        from pii_redaction_data_pipeline_spark.functions.perplexity import (
+            train_char_trigram_lm,
+        )
+
+        ppl_model = train_char_trigram_lm(df, "text")
+    fused_udf = make_annotate_udf(
+        spark, normalize=cfg.normalize_unicode, ppl_model=ppl_model
+    )
 
     # normalize NULL text to '' up front: every downstream rule treats ''
     # as droppable (too_short), whereas raw NULLs would propagate through

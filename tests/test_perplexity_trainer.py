@@ -102,6 +102,55 @@ def test_trained_model_through_broadcast_udf(spark):
         assert abs(r["ppl"] - w) <= 1e-6 * max(w, 1.0), (r["text"][:40], r["ppl"], w)
 
 
+def test_annotate_with_corpus_trained_model(spark, tiny):
+    """cfg.train_ppl_on_corpus swaps the fluency table under the fused
+    UDF: same rows/schema, different ppl values, deterministic across
+    runs (the --train-ppl-on-corpus job surface)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
+
+    tr = spark.read.parquet(tiny[0])
+    base = annotate(tr, PipelineConfig(), spark)
+    cfg = dataclasses.replace(PipelineConfig(), train_ppl_on_corpus=True)
+    trained1 = annotate(tr, cfg, spark)
+    assert trained1.schema == base.schema
+    assert trained1.count() == base.count()
+    j = (
+        base.select("conv_id", "turn_idx", F.col("ppl").alias("p0"))
+        .join(
+            trained1.select("conv_id", "turn_idx", F.col("ppl").alias("p1")),
+            ["conv_id", "turn_idx"],
+        )
+    )
+    diff = j.filter(F.abs(F.col("p0") - F.col("p1")) > 1e-9).count()
+    assert diff > 0, "trained table should change ppl on real text"
+    # determinism: a second trained run reproduces ppl exactly
+    trained2 = annotate(tr, cfg, spark)
+    j2 = (
+        trained1.select("conv_id", "turn_idx", F.col("ppl").alias("a"))
+        .join(
+            trained2.select("conv_id", "turn_idx", F.col("ppl").alias("b")),
+            ["conv_id", "turn_idx"],
+        )
+    )
+    assert j2.filter(~F.col("a").eqNullSafe(F.col("b"))).count() == 0
+
+
+def test_job_cli_flag_sets_config():
+    from pii_redaction_data_pipeline_spark.job import build_config, parse_args
+
+    args = parse_args(
+        ["--input", "i", "--output", "o", "--lineage", "l", "--train-ppl-on-corpus"]
+    )
+    assert build_config(args).train_ppl_on_corpus is True
+    args2 = parse_args(["--input", "i", "--output", "o", "--lineage", "l"])
+    assert build_config(args2).train_ppl_on_corpus is False
+
+
 def test_corpus_trained_model_prefers_its_register(spark):
     """A model trained on the in-domain corpus scores in-domain text
     at least as fluent as the embedded-corpus default does, and still
