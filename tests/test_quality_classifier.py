@@ -1,0 +1,117 @@
+"""Learned quality classifier: held-out separation, scoring pass-through,
+and the deterministic Pareto keep gate (closed-form Lomax tail)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_redaction_data_pipeline_spark.operators.quality_classifier import (
+    pareto_quality_gate,
+    score_quality,
+    train_quality_classifier,
+)
+
+_CLEAN_VOCAB = (
+    "the quick brown fox jumps over lazy dog please restart service and "
+    "tell me whether error message still appears we reviewed report "
+    "agreed next steps for release thank you your patience while look "
+    "into this issue data pipeline finished nightly run all tables were "
+    "written without errors"
+).split()
+
+_JUNK_VOCAB = [
+    "".join(random.Random(97 * i + 13).choices("bcdfghjklmnpqrstvwxz", k=7))
+    for i in range(60)
+]
+
+
+def _docs(vocab, n, seed):
+    rng = random.Random(seed)
+    return [" ".join(rng.choices(vocab, k=rng.randint(8, 24))) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def model_and_holdout(spark):
+    pos = _docs(_CLEAN_VOCAB, 300, 1)
+    neg = _docs(_JUNK_VOCAB, 300, 2)
+    model = train_quality_classifier(
+        spark.createDataFrame([(t,) for t in pos], "text string"),
+        spark.createDataFrame([(t,) for t in neg], "text string"),
+        n_features=2 ** 15,
+    )
+    hold_pos = _docs(_CLEAN_VOCAB, 100, 3)
+    hold_neg = _docs(_JUNK_VOCAB, 100, 4)
+    return model, hold_pos, hold_neg
+
+
+def test_holdout_f1(spark, model_and_holdout):
+    model, hold_pos, hold_neg = model_and_holdout
+    df = spark.createDataFrame(
+        [(t, 1) for t in hold_pos] + [(t, 0) for t in hold_neg], "text string, y int"
+    )
+    rows = score_quality(df, model).select("y", "q_score").collect()
+    tp = sum(1 for r in rows if r.y == 1 and r.q_score > 0.5)
+    fp = sum(1 for r in rows if r.y == 0 and r.q_score > 0.5)
+    fn = sum(1 for r in rows if r.y == 1 and r.q_score <= 0.5)
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (tp, fp, fn)
+
+
+def test_score_passthrough_and_range(spark, model_and_holdout):
+    model, hold_pos, _ = model_and_holdout
+    df = spark.createDataFrame(
+        [(i, t, "meta") for i, t in enumerate(hold_pos[:20])],
+        "doc_id long, text string, extra string",
+    )
+    out = score_quality(df, model)
+    assert set(out.columns) == {"doc_id", "text", "extra", "q_score"}
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r.q_score <= 1.0 for r in rows)
+
+
+def test_scoring_deterministic_across_partitionings(spark, model_and_holdout):
+    model, hold_pos, hold_neg = model_and_holdout
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hold_pos + hold_neg)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.q_score for r in score_quality(df.repartition(1), model).collect()}
+    b = {r.doc_id: r.q_score for r in score_quality(df.repartition(9), model).collect()}
+    assert a == b
+
+
+def _score_frame(spark, score, n):
+    return spark.createDataFrame(
+        [(i, float(score)) for i in range(n)], "doc_id long, q_score double"
+    )
+
+
+def test_pareto_gate_matches_lomax_tail(spark):
+    """P(keep | s) = (2 - s)^(-alpha): s=0.999/alpha=9 keeps ~99.1%,
+    s=0.001 keeps ~0.2%. 2000 deterministic draws per side."""
+    hi = pareto_quality_gate(_score_frame(spark, 0.999, 2000)).count()
+    lo = pareto_quality_gate(_score_frame(spark, 0.001, 2000)).count()
+    assert hi / 2000 > 0.95, hi
+    assert lo / 2000 < 0.05, lo
+
+
+def test_pareto_gate_deterministic_and_partition_invariant(spark):
+    df = _score_frame(spark, 0.6, 500)
+    ids1 = sorted(r.doc_id for r in pareto_quality_gate(df.repartition(2)).collect())
+    ids2 = sorted(r.doc_id for r in pareto_quality_gate(df.repartition(11)).collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    # expected keep fraction at s=0.6: (1.4)^-9 ~ 4.8%
+    assert 0.0 < len(ids1) / 500 < 0.15
+
+
+def test_pareto_gate_seed_changes_selection(spark):
+    df = _score_frame(spark, 0.6, 500)
+    a = {r.doc_id for r in pareto_quality_gate(df, seed=0).collect()}
+    b = {r.doc_id for r in pareto_quality_gate(df, seed=1).collect()}
+    assert a != b
+
+
+def test_pareto_gate_rejects_bad_alpha(spark):
+    with pytest.raises(ValueError):
+        pareto_quality_gate(_score_frame(spark, 0.5, 1), alpha=0.0)
