@@ -44,6 +44,8 @@ the same standing as the streaming surface (SURVEY.md §5).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,6 +95,18 @@ def featurize(
     return tf.transform(df).drop(_GRAMS)
 
 
+@dataclass(frozen=True)
+class QualityClassifier:
+    """The fitted model WITH its featurization settings — scoring must
+    hash grams exactly as training did, so the two travel together (a
+    silent use_bigrams/n_features mismatch would scramble buckets
+    without any width error)."""
+
+    model: object  # pyspark.ml LogisticRegressionModel
+    n_features: int
+    use_bigrams: bool
+
+
 def train_quality_classifier(
     positives: DataFrame,
     negatives: DataFrame,
@@ -101,12 +115,12 @@ def train_quality_classifier(
     use_bigrams: bool = True,
     max_iter: int = 50,
     reg_param: float = 1e-4,
-):
+) -> QualityClassifier:
     """Fit the linear filter: positives = the register you want more of
     (curated sample), negatives = a deterministic sample of the raw
-    corpus (the CCNet/GPT-3 recipe). Returns the fitted
-    LogisticRegressionModel (coefficients <= n_features doubles — the
-    broadcastable model artifact)."""
+    corpus (the CCNet/GPT-3 recipe). Returns the fitted model bundled
+    with its featurization settings (coefficients <= n_features doubles
+    — the broadcastable model artifact)."""
     from pyspark.ml.classification import LogisticRegression
 
     train = positives.select(
@@ -122,22 +136,22 @@ def train_quality_classifier(
         regParam=reg_param,
         standardization=False,
     )
-    return lr.fit(feat)
+    return QualityClassifier(lr.fit(feat), n_features, use_bigrams)
 
 
 def score_quality(
     df: DataFrame,
-    model,
+    clf: QualityClassifier,
     text_col: str = "text",
     out_col: str = "q_score",
-    use_bigrams: bool = True,
 ) -> DataFrame:
     """Adds P(curated | text) as `out_col`. One narrow JVM pass —
     featurize + model.transform + vector_to_array slice; every input
     column passes through untouched, the ml intermediates are dropped."""
     from pyspark.ml.functions import vector_to_array
 
-    feat = featurize(df, text_col, model.numFeatures, use_bigrams)
+    model = clf.model
+    feat = featurize(df, text_col, clf.n_features, clf.use_bigrams)
     scored = model.transform(feat)
     return scored.withColumn(
         out_col, vector_to_array(F.col(model.getProbabilityCol()))[1]
