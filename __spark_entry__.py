@@ -1541,6 +1541,150 @@ _DSIR_SQL = r"""
 """
 
 
+def _junk_docs(n: int = 60) -> list[str]:
+    """Deterministic consonant-soup junk documents, vocab disjoint from
+    the documents table's word list — the planted negative register for
+    the learned quality filter (same recipe as
+    tests/test_quality_classifier.py)."""
+    import random
+
+    vocab = [
+        "".join(random.Random(97 * i + 13).choices("bcdfghjklmnpqrstvwxz", k=7))
+        for i in range(60)
+    ]
+    rng = random.Random(991)
+    return [" ".join(rng.choices(vocab, k=rng.randint(8, 24))) for _ in range(n)]
+
+
+def q_llm_curation(spark, sf_dir):
+    """The COMPOSED LLM-curation chain (round-4 VERDICT item 8):
+    decontaminate -> DSIR selection -> learned quality-filter gate, as
+    ONE query over the documents corpus — the sequence a real
+    training-data user runs. Each stage passes alone (decontaminate /
+    dsir_select driver oracles; the classifier's pytest F1); THIS entry
+    value-checks their composition.
+
+    Stage semantics (all parameters match the standalone oracles):
+      1. decontaminate: drop every document sharing a word-8-gram with
+         the benchmark carve (doc_id % 7 == 3) — GPT-3 appendix C.
+      2. dsir_select over the survivors: target register = the
+         doc_id % 5 == 1 carve of the survivors, top-60 by importance
+         weight (Xie et al. 2023).
+      3. learned gate: a logistic filter trained in-query on (the
+         300-doc corpus carve as the curated register) vs 60 planted
+         consonant-soup junk documents (Brown et al. 2020 appendix A /
+         CCNet). The selected docs UNION the junk probes (sentinel
+         doc_ids >= 10^9) flow through score_quality; the gate keeps
+         q_score > 0.5.
+
+    Oracle story: stages 1-2 are replayed exactly in DuckDB from the
+    gram STRINGS. The learned stage is not SQL-expressible, so the
+    oracle instead encodes its PROVABLE fixture behavior: every
+    selected document's grams were trained positive (the register IS
+    the positive class) and every junk probe's grams negative with a
+    vocabulary-disjoint junk lexicon — measured margins real >= 0.99 /
+    junk <= 0.004, ~5 logits each side of the 0.5 gate, vs ~1e-6
+    training jitter — so the gate keeps exactly the real selected docs
+    and drops exactly the probes. The output left-joins DSIR's
+    (n_grams, weight): a probe leaking through the gate surfaces as an
+    extra NULL-weight row and a wrongly dropped document as a missing
+    row — both break the hash match.
+
+    Scale shape: the benchmark gram set and the k-th-weight threshold
+    broadcast; the classifier is a broadcast coefficient vector applied
+    by one vectorized pandas UDF; the decontaminate keep-set reaches
+    DSIR's gram scans as a (broadcastable) semi-join, so the only
+    corpus-wide exchanges are DSIR's own gram aggregations (plan-pinned
+    by tests/test_plans.py::test_llm_curation_composition_plan)."""
+    from pii_redaction_data_pipeline_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+    from pii_redaction_data_pipeline_spark.operators.dsir import dsir_select
+    from pii_redaction_data_pipeline_spark.operators.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    bench = docs.filter(F.col("doc_id") % 7 == 3).select("text")
+    # materialize the decontamination KEEP LIST once (ids only, 8 B/doc):
+    # DSIR reads its corpus three times (stats, per-doc grams, target
+    # carve) — without this checkpoint each read would re-run the whole
+    # contamination groupBy chain (plan-pinned by
+    # tests/test_plans.py::test_llm_curation_composition_plan). Same
+    # lineage-truncation precedent as dsir_select's scored frame.
+    keep = (
+        contamination_flags(docs, bench, k=8)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    clean = docs.join(keep, "doc_id", "semi")
+    target = clean.filter(F.col("doc_id") % 5 == 1).select("text")
+    sel = dsir_select(clean, target, k_top=60).filter("selected")
+
+    junk = _junk_docs()
+    clf = train_quality_classifier(
+        docs.select("text"),
+        spark.createDataFrame([(t,) for t in junk], "text string"),
+    )
+    probes = spark.createDataFrame(
+        [(1_000_000_000 + i, t) for i, t in enumerate(junk)],
+        "doc_id long, text string",
+    )
+    cand = (
+        sel.select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .unionByName(probes)
+    )
+    kept = score_quality(cand, clf).filter(F.col("q_score") > 0.5)
+    return (
+        kept.select("doc_id")
+        .join(sel.select("doc_id", "n_grams", "weight"), "doc_id", "left")
+        .orderBy("doc_id")
+    )
+
+
+_LLM_CURATION_SQL = r"""
+    WITH norm0 AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        FROM documents WHERE doc_id < 300),
+    g8 AS (
+        SELECT doc_id, G.g FROM norm0,
+        LATERAL (SELECT DISTINCT unnest(
+            CASE WHEN len(w) >= 8
+                 THEN [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS g) AS G),
+    bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 7 = 3),
+    contaminated AS (SELECT DISTINCT doc_id FROM g8 JOIN bench USING (g)),
+    norm AS (SELECT * FROM norm0
+             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    grams AS (
+        SELECT doc_id, G.g FROM norm,
+        LATERAL (SELECT unnest(
+            w || CASE WHEN len(w) >= 2
+                 THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                 ELSE CAST([] AS VARCHAR[]) END) AS g) AS G),
+    tgt AS (SELECT g, count(*) AS ct FROM grams WHERE doc_id % 5 = 1 GROUP BY g),
+    raw AS (SELECT g, count(*) AS cr FROM grams GROUP BY g),
+    stats AS (
+        SELECT coalesce(t.g, r.g) AS g,
+               coalesce(t.ct, 0) AS ct, coalesce(r.cr, 0) AS cr
+        FROM tgt t FULL JOIN raw r ON t.g = r.g),
+    tot AS (SELECT sum(ct) AS tot_t, sum(cr) AS tot_r, count(*) AS vocab FROM stats),
+    lr AS (SELECT g, ln((ct + 1.0) / (tot_t + vocab))
+                    - ln((cr + 1.0) / (tot_r + vocab)) AS logr
+           FROM stats, tot),
+    docg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    wt AS (
+        SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_grams,
+               round(sum(d.c * l.logr), 4) AS weight
+        FROM docg d JOIN lr l ON d.g = l.g GROUP BY d.doc_id),
+    rk AS (SELECT *, row_number() OVER (ORDER BY weight DESC, doc_id) AS rn FROM wt)
+    SELECT doc_id, n_grams, weight FROM rk WHERE rn <= 60 ORDER BY doc_id
+"""
+
+
 def q_multimodal_decode_stub(spark, sf_dir):
     """Stubbed media decode via mapInPandas (schema/batch plumbing real).
 
@@ -1955,7 +2099,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     winnow_fingerprint (the text-fingerprint family keeps token_count;
     the mod-p winnowing oracle stays value-checked in the pruned suite)
     — slot reused for dsir_select, the DSIR importance-resampling
-    data-selection gate."""
+    data-selection gate.
+
+    Round 5 GREW the registry instead of trading slots (the round-4
+    driver demonstrated the harness records every registered query):
+    repeated_span (the Lee'22 span remover, promoted from the pruned
+    suite with its hash-free SQL replay), simhash (promoted back — its
+    truth-containment oracle is independent of minhash_lsh's), and
+    llm_curation (the composed decontaminate -> DSIR -> learned-filter
+    chain, VERDICT round-4 item 8). 54 entries total."""
     return {
         # relational operator inventory
         "s2_prefix_scan": q_s2_prefix_scan,
@@ -2024,6 +2176,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-trained KN perplexity (distributed trigram counting ->
         # broadcast fit; independent scalar-rederivation oracle)
         "ppl_trained": q_ppl_trained,
+        # round 5: span-level exact dedup (Lee'22), simhash banding
+        # recall (truth-containment), and the composed curation chain
+        "repeated_span": q_repeated_span,
+        "simhash": q_simhash,
+        "llm_curation": q_llm_curation,
     }
 
 
@@ -2673,6 +2830,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
             ORDER BY event_id
         """,
+        # round-5 promotions + the composed curation chain
+        "repeated_span": _REPEATED_SPAN_SQL,
+        "simhash": _NGRAM_TRUTH_SQL,
+        "llm_curation": _LLM_CURATION_SQL,
     })
     return out
 
@@ -2681,7 +2842,6 @@ def oracle_sql() -> dict[str, str]:
 # (see queries() docstring) — still value-checked locally by
 # tests/test_pruned_oracles.py so the operators cannot silently rot.
 PRUNED_QUERIES = {
-    "simhash": q_simhash,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "date_funcs": q_date_funcs,
@@ -2700,23 +2860,15 @@ PRUNED_QUERIES = {
     # probabilistic by design — floors are pytest-pinned in
     # tests/test_similarity.py.
     "ann_lsh": lambda spark, sf_dir: _q_ann_lsh_tables(spark, sf_dir, 16),
-    # added round 4 (never held a driver slot): the dedup family in the
-    # 50-entry contract keeps dedup_exact_groups / line_dedup /
-    # ngram_jaccard / minhash_lsh / conv_neardup / dup_components /
-    # semdedup / decontaminate — the span remover is value-checked here
-    "repeated_span": q_repeated_span,
     # pruned late round 4 (slot reused for dsir_select): mod-p winnowing
     # stays value-checked here with its original SQL replay
     "winnow_fingerprint": q_winnow_fingerprint,
 }
 
-PRUNED_ORACLES = {
-    "simhash": _NGRAM_TRUTH_SQL,
-    "winnow_fingerprint": _winnow_sql(),
-    "ann_lsh": _COSINE_TOPK_SQL,
-    # repeated-span dedup re-derived hash-free: coverage from the gram
-    # STRINGS via a per-token index union, rebuild via list comprehension
-    "repeated_span": r"""
+# repeated-span dedup re-derived hash-free: coverage from the gram
+# STRINGS via a per-token index union, rebuild via list comprehension
+# (promoted into the driver contract in round 5)
+_REPEATED_SPAN_SQL = r"""
         WITH words AS (
             SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS w
             FROM documents),
@@ -2743,7 +2895,11 @@ PRUNED_ORACLES = {
             (len(w.w) - coalesce(len(c.cov), 0))::BIGINT AS n_kept
         FROM words w LEFT JOIN cover c USING (doc_id)
         ORDER BY doc_id
-    """,
+    """
+
+PRUNED_ORACLES = {
+    "winnow_fingerprint": _winnow_sql(),
+    "ann_lsh": _COSINE_TOPK_SQL,
     "multimodal_resize": f"""
         WITH h AS (
             SELECT doc_id, sha256(text) AS hx

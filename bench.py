@@ -318,8 +318,41 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "bench_history.jsonl"), "a") as f:
         f.write(json.dumps(result) + "\n")
+    # the full-detail artifact for humans/scripts — never truncated
+    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
+        f.write(json.dumps(result, indent=1) + "\n")
 
+    # full-detail line first (existing consumers read any line), then a
+    # COMPACT headline line LAST: the round driver captures only a tail
+    # of stdout, and round 4's full line outgrew that window, so the
+    # recorded "parsed" came back null. The last line must always fit.
     print(json.dumps(result))
+    pipe_keys = (
+        "turns", "wall_sec", "turns_per_sec", "best_turns_per_sec",
+        "scale", "control_work_per_sec",
+    )
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": result["sf"],
+        "cpus": result["cpus"],
+        "pipeline": {
+            k: result["pipeline"][k] for k in pipe_keys if k in result["pipeline"]
+        },
+        "curation_dag": {
+            k: curate[k] for k in ("wall_sec", "turns_per_sec") if k in curate
+        },
+        "full_detail": "BENCH/last_run.json",
+    }
+    if "scaling" in result:
+        compact["scaling_eff"] = {
+            k: v
+            for k, v in result["scaling"].items()
+            if isinstance(v, float) and "efficiency" in k
+        }
+    print(json.dumps(compact))
 
 
 def _burn(n: int) -> int:

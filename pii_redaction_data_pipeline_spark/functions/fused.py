@@ -166,7 +166,12 @@ def make_annotate_udf(spark=None, normalize: bool = True, ppl_model=None):
     ppl_model (a CharTrigramLM, e.g. from train_char_trigram_lm) to
     score fluency with a corpus-trained table instead of the embedded
     default — same ~400 KB broadcast either way."""
+    # The UDF closure must capture ONLY (bc, local_logp, normalize) —
+    # never ppl_model itself: referencing the model object inside the UDF
+    # would cloudpickle its ~470 KB logp ndarray into every task closure
+    # IN ADDITION to the broadcast, defeating the broadcast.
     bc = None
+    local_logp = None
     if spark is not None:
         bc = spark.sparkContext.broadcast(
             (ppl_model if ppl_model is not None else default_model()).logp
@@ -178,12 +183,7 @@ def make_annotate_udf(spark=None, normalize: bool = True, ppl_model=None):
 
     @F.pandas_udf(ANNOTATE_SCHEMA)
     def annotate_udf(texts: pd.Series) -> pd.DataFrame:
-        if bc is not None:
-            logp = bc.value
-        elif ppl_model is not None:
-            logp = local_logp
-        else:
-            logp = None
+        logp = bc.value if bc is not None else local_logp
         # sub-chunk oversized Arrow batches: the batch-wide numpy
         # temporaries are the UDF's memory footprint, and beyond ~10k
         # rows the fresh-page cost of each big temp dominates (measured

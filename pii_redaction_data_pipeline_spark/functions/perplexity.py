@@ -252,18 +252,27 @@ def make_ppl_udf(spark=None, model: CharTrigramLM | None = None):
     score with a corpus-trained LM (train_char_trigram_lm) instead of
     the embedded-corpus default.
     """
-    src = model if model is not None else None
+    # capture ONLY (bc, local_logp) in the UDF closure — closing over the
+    # model object would cloudpickle its logp ndarray into every task in
+    # addition to the broadcast (same contract as fused.make_annotate_udf)
     bc = None
+    local_logp = None
     if spark is not None:
-        logp = (src or default_model()).logp
-        bc = spark.sparkContext.broadcast(logp)
+        bc = spark.sparkContext.broadcast(
+            (model if model is not None else default_model()).logp
+        )
+    elif model is not None:
+        local_logp = model.logp
 
     @F.pandas_udf(T.DoubleType())
     def ppl_udf(texts: pd.Series) -> pd.Series:
-        m = src if src is not None else default_model()
+        m = CharTrigramLM.__new__(CharTrigramLM)
         if bc is not None:
-            m = CharTrigramLM.__new__(CharTrigramLM)
             m.logp = bc.value
+        elif local_logp is not None:
+            m.logp = local_logp
+        else:
+            m = default_model()
         return m.ppl_series(texts)
 
     return ppl_udf

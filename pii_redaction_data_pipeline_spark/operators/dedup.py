@@ -597,15 +597,24 @@ def simhash_pairs(
     self-join). Without a persist, each branch would re-run the pandas
     signature UDF over the full corpus text — the single most expensive
     stage, executed ~6x. The default persists (id, sh) — 16 B/doc, not
-    text — MEMORY_AND_DISK, computed once; the frame stays cached for
-    the session (same trade MLlib makes for iteratively-reused inputs;
-    `spark.catalog.clearCache()` reclaims it). Pass False only when the
-    caller has already materialized signatures itself."""
+    text — MEMORY_AND_DISK, computes the pairs EAGERLY (one job, pairs
+    pinned output-bounded), then releases the signature cache before
+    returning, so repeated calls in a long session leak nothing. The
+    returned pairs frame is itself persisted (near-dup pair lists are
+    tiny next to corpus signatures); callers may .unpersist() it when
+    done. Pass False for a fully lazy plan when the caller has already
+    materialized signatures itself."""
     sim = make_simhash_udf()
     sdf = df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh"))
-    if persist_signatures:
-        sdf = sdf.persist()
-    return simhash_sig_pairs(sdf, max_hamming, n_blocks)
+    if not persist_signatures:
+        return simhash_sig_pairs(sdf, max_hamming, n_blocks)
+    sdf = sdf.persist()
+    pairs = simhash_sig_pairs(sdf, max_hamming, n_blocks).persist()
+    try:
+        pairs.count()  # materialize while signatures are cached (once)
+    finally:
+        sdf.unpersist()
+    return pairs
 
 
 # --- exact n-gram jaccard (explode/join ground truth) -----------------------
@@ -738,9 +747,12 @@ def corpus_line_dedup(
 
     pat = _re.escape(delim)
     empty_int_arr = F.array().cast("array<int>")
+    # NULL text coerces to '' (quality.py convention) so NULL docs yield
+    # ('', 1, 1) instead of (NULL, -1, -1)
+    text_nn = F.coalesce(F.col(text_col), F.lit(""))
     slim = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), pat)).alias("ln", "line"),
+        F.posexplode(F.split(text_nn, pat)).alias("ln", "line"),
     ).select(
         "id",
         "ln",
@@ -763,7 +775,7 @@ def corpus_line_dedup(
         .agg(F.collect_list("ln").alias("drop_ln"))
         .withColumnRenamed("id", "__drop_id")
     )
-    parts = F.split(F.col(text_col), pat)
+    parts = F.split(text_nn, pat)
     drop_arr = F.coalesce(F.col("drop_ln"), empty_int_arr)
     kept = F.filter(parts, lambda line, i: ~F.array_contains(drop_arr, i))
     n_lines = F.size(parts)
@@ -846,7 +858,9 @@ def repeated_span_dedup(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     empty_int_arr = F.array().cast("array<int>")
-    ws = F.split(F.col(text_col), r"\s+")
+    # NULL text coerces to '' (the quality.py convention): split(NULL) is
+    # NULL and size(NULL) is -1, which would leak (NULL, -1, -1) rows
+    ws = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
     n = F.size(ws)
     # guard n < k: sequence(0, n-k) would DESCEND into negatives
     starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(empty_int_arr)
@@ -874,10 +888,11 @@ def repeated_span_dedup(
     )
     cov_arr = F.coalesce(F.col("cov"), empty_int_arr)
     kept = F.filter(ws, lambda tok, i: ~F.array_contains(cov_arr, i))
-    # untouched documents pass through byte-identical (no split/re-join)
-    clean = F.when(F.size(cov_arr) == 0, F.col(text_col)).otherwise(
-        F.array_join(kept, " ")
-    )
+    # untouched documents pass through byte-identical (no split/re-join);
+    # NULL text yields '' here too, matching the ws coercion above
+    clean = F.when(
+        F.size(cov_arr) == 0, F.coalesce(F.col(text_col), F.lit(""))
+    ).otherwise(F.array_join(kept, " "))
     return (
         df.join(covered, F.col(id_col) == F.col("__cov_id"), "left")
         .select(

@@ -19,14 +19,32 @@ Scale design.
              iteration is one treeAggregate whose per-partition state
              is a dense gradient of n_features doubles (2 MB at the
              2^18 default) — bounded by D, never by corpus size.
-  featurize  JVM end to end: the gram arrays are Catalyst expressions
-             (split/NGram/concat) and HashingTF buckets them without a
-             Python round-trip. Feature width is FIXED (hashing trick),
-             so the model artifact is <= 2 MB dense regardless of
-             vocabulary and broadcasts like the KN table.
-  score      one narrow pass over the corpus — model.transform is
-             JVM-side, no shuffle, no Python; the keep predicate
-             composes with other pushed filters.
+  featurize  gram arrays and hash indices are Catalyst expressions
+             (split / transform-lambda bigrams / pmod(hash, D));
+             feature width is FIXED (hashing trick), so the model
+             artifact is <= 2 MB dense regardless of vocabulary and
+             broadcasts like the KN table. Vector assembly for MLlib
+             is training-only (see featurize docstring).
+  score      one narrow pass over the corpus that never touches
+             MLlib: the model is linear, so scoring is
+             sigmoid(w.x + b) where x is the hashed gram-count
+             vector. Gram hash indices are computed JVM-side with
+             pmod(hash(gram), n_features) — the SAME Catalyst
+             expression training hashed with, so buckets match by
+             construction (pinned by tests/test_quality_classifier.py
+             ::test_featurize_matches_scoring_indices). The dense
+             coefficient vector (<= 2 MB at the 2^18 default) is
+             broadcast once and a vectorized pandas UDF gathers
+             w[idx] per row. MLlib's model.transform is deliberately
+             NOT used here: its Scala closure drags the session's
+             ObservationManager into the task closure and crashes
+             with NotSerializableException in any session that has
+             run the pipeline's Observation-based lineage
+             (plans/pipeline.py) — scoring must compose with the
+             pipeline in ONE session, like the reference's single
+             state machine runs detection after extraction in one
+             execution (reference/backend/lib/
+             cdk-stepfunctions-stack.js:315-328).
   keep gate  GPT-3 keeps a document iff
              np.random.pareto(alpha) > 1 - score; `pareto_quality_gate`
              replaces the RNG with the repo's deterministic sha256
@@ -46,6 +64,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,15 +88,34 @@ def _gram_arrays(df: DataFrame, text_col: str, use_bigrams: bool) -> DataFrame:
     )
     df = df.withColumn(_WORDS, words)
     if use_bigrams:
-        from pyspark.ml.feature import NGram
-
-        df = NGram(n=2, inputCol=_WORDS, outputCol="_qc_bi").transform(df)
-        df = df.withColumn(_GRAMS, F.concat(F.col(_WORDS), F.col("_qc_bi"))).drop(
-            "_qc_bi"
+        # space-joined consecutive pairs, same output as ml.feature.NGram(n=2)
+        # but pure Catalyst (codegen'd, no per-row Scala closure):
+        bi = F.expr(
+            f"transform(slice({_WORDS}, 1, greatest(size({_WORDS}) - 1, 0)),"
+            f" (x, i) -> concat(x, ' ', {_WORDS}[i + 1]))"
         )
+        df = df.withColumn(_GRAMS, F.concat(F.col(_WORDS), bi))
     else:
         df = df.withColumn(_GRAMS, F.col(_WORDS))
     return df.drop(_WORDS)
+
+
+def hashed_gram_indices(
+    df: DataFrame, text_col: str, n_features: int, use_bigrams: bool, out_col: str
+) -> DataFrame:
+    """Adds array<int> of hashed-gram feature indices — the sparse row
+    of the bag-of-grams matrix, computed purely in Catalyst:
+    pmod(hash(gram), n_features) (murmur3 seed 42, codegen'd). This is
+    THE hash function of the filter: both training (featurize) and
+    scoring (score_quality) consume these indices, so bucket agreement
+    is by construction. ml.feature.HashingTF is deliberately not used —
+    its hashUnsafeBytes2 murmur3 variant differs from Catalyst's and is
+    not reachable from a vectorized scoring path. Multiplicity is
+    preserved (an index appears once per gram occurrence) — the
+    term-frequency weighting."""
+    df = _gram_arrays(df, text_col, use_bigrams)
+    idx = F.transform(F.col(_GRAMS), lambda g: F.pmod(F.hash(g), F.lit(n_features)))
+    return df.withColumn(out_col, idx).drop(_GRAMS)
 
 
 def featurize(
@@ -85,24 +124,40 @@ def featurize(
     n_features: int = 2 ** 18,
     use_bigrams: bool = True,
 ) -> DataFrame:
-    """Adds the fixed-width hashed bag-of-grams vector (FEATURES_COL).
-    All JVM: Catalyst gram arrays + HashingTF (hashing trick — feature
-    width is capacity-planned up front, never vocabulary-dependent)."""
-    from pyspark.ml.feature import HashingTF
+    """Adds the fixed-width hashed bag-of-grams SparseVector
+    (FEATURES_COL) for MLlib training. Hash indices come from
+    hashed_gram_indices (Catalyst) — identical to what scoring gathers.
+    The final vector assembly is a per-row UDF by necessity (VectorUDT
+    has no Arrow codec), and that is acceptable ONLY here: training is
+    sample-bounded by contract (~10^6 rows, module docstring), so this
+    never touches the corpus hot path — scoring stays pandas/Arrow."""
+    from pyspark.ml.linalg import Vectors, VectorUDT
 
-    df = _gram_arrays(df, text_col, use_bigrams)
-    tf = HashingTF(inputCol=_GRAMS, outputCol=FEATURES_COL, numFeatures=n_features)
-    return tf.transform(df).drop(_GRAMS)
+    df = hashed_gram_indices(df, text_col, n_features, use_bigrams, "_qc_idx")
+
+    @F.udf(VectorUDT())
+    def _to_vec(idxs):
+        if not idxs:
+            return Vectors.sparse(n_features, [], [])
+        u, c = np.unique(np.asarray(idxs, dtype=np.int64), return_counts=True)
+        return Vectors.sparse(n_features, u.tolist(), c.astype(np.float64).tolist())
+
+    return df.withColumn(FEATURES_COL, _to_vec(F.col("_qc_idx"))).drop("_qc_idx")
 
 
 @dataclass(frozen=True)
 class QualityClassifier:
-    """The fitted model WITH its featurization settings — scoring must
-    hash grams exactly as training did, so the two travel together (a
-    silent use_bigrams/n_features mismatch would scramble buckets
-    without any width error)."""
+    """The extracted linear model WITH its featurization settings —
+    scoring must hash grams exactly as training did, so the two travel
+    together (a silent use_bigrams/n_features mismatch would scramble
+    buckets without any width error). Holding the raw (weights,
+    intercept) instead of the MLlib model object keeps the artifact a
+    plain broadcastable ndarray and keeps MLlib entirely out of the
+    scoring path (see module docstring: model.transform is
+    session-composition-broken)."""
 
-    model: object  # pyspark.ml LogisticRegressionModel
+    weights: object  # numpy.ndarray float64, dense, length n_features
+    intercept: float
     n_features: int
     use_bigrams: bool
 
@@ -118,9 +173,10 @@ def train_quality_classifier(
 ) -> QualityClassifier:
     """Fit the linear filter: positives = the register you want more of
     (curated sample), negatives = a deterministic sample of the raw
-    corpus (the CCNet/GPT-3 recipe). Returns the fitted model bundled
-    with its featurization settings (coefficients <= n_features doubles
-    — the broadcastable model artifact)."""
+    corpus (the CCNet/GPT-3 recipe). MLlib's L-BFGS does the fitting
+    (each iteration one bounded treeAggregate); the fitted model is
+    immediately flattened to its dense (weights, intercept) so nothing
+    downstream ever calls back into MLlib."""
     from pyspark.ml.classification import LogisticRegression
 
     train = positives.select(
@@ -136,7 +192,9 @@ def train_quality_classifier(
         regParam=reg_param,
         standardization=False,
     )
-    return QualityClassifier(lr.fit(feat), n_features, use_bigrams)
+    model = lr.fit(feat)
+    weights = np.asarray(model.coefficients.toArray(), dtype=np.float64)
+    return QualityClassifier(weights, float(model.intercept), n_features, use_bigrams)
 
 
 def score_quality(
@@ -145,22 +203,43 @@ def score_quality(
     text_col: str = "text",
     out_col: str = "q_score",
 ) -> DataFrame:
-    """Adds P(curated | text) as `out_col`. One narrow JVM pass —
-    featurize + model.transform + vector_to_array slice; every input
-    column passes through untouched, the ml intermediates are dropped."""
-    from pyspark.ml.functions import vector_to_array
+    """Adds P(curated | text) as `out_col` = sigmoid(w.x + b). Gram
+    hashing stays JVM-side (the same Catalyst hash training used, see
+    module docstring); the only Python is one vectorized pandas UDF that
+    gathers the broadcast weight vector at the row's indices — an
+    Arrow-batched numpy fancy-index + segmented sum, no MLlib, no
+    shuffle, composes with Observation-bearing sessions. Every input
+    column passes through untouched."""
+    spark = df.sparkSession
+    bc_w = spark.sparkContext.broadcast(clf.weights)
+    b0 = clf.intercept
 
-    model = clf.model
-    feat = featurize(df, text_col, clf.n_features, clf.use_bigrams)
-    scored = model.transform(feat)
-    return scored.withColumn(
-        out_col, vector_to_array(F.col(model.getProbabilityCol()))[1]
-    ).drop(
-        FEATURES_COL,
-        model.getRawPredictionCol(),
-        model.getProbabilityCol(),
-        model.getPredictionCol(),
-    )
+    @F.pandas_udf("double")
+    def _sigmoid_dot(idx: pd.Series) -> pd.Series:
+        w = bc_w.value
+        vals = idx.values
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in vals),
+            dtype=np.int64,
+            count=len(vals),
+        )
+        sums = np.zeros(len(vals), dtype=np.float64)
+        nonzero = lens > 0
+        if nonzero.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in vals if a is not None and len(a)]
+            )
+            # per-segment reduceat: each row's sum depends only on its own
+            # slice, so scores are bitwise partitioning/batching-invariant
+            # (a batch-wide cumsum would leak neighbors' rounding into it).
+            starts = np.cumsum(lens) - lens
+            sums[nonzero] = np.add.reduceat(w[flat], starts[nonzero])
+        logit = b0 + sums
+        return pd.Series(1.0 / (1.0 + np.exp(-np.clip(logit, -500.0, 500.0))))
+
+    idx_col = "_qc_idx"
+    out = hashed_gram_indices(df, text_col, clf.n_features, clf.use_bigrams, idx_col)
+    return out.withColumn(out_col, _sigmoid_dot(F.col(idx_col))).drop(idx_col)
 
 
 def _deterministic_uniform(key_cols, seed: int) -> Column:

@@ -213,7 +213,19 @@ def run_curation(
     from pii_redaction_data_pipeline_spark.plans.pipeline import run_pipeline
     from pii_redaction_data_pipeline_spark.sources.tables import BUCKET_COL
 
-    cfg = cfg or PipelineConfig()
+    if cfg is None:
+        # The curation DAG's product is the scrubbed text; the raw text is
+        # reconstructible from the source table + lineage and is the
+        # single largest byte stream in the annotate stage (it roughly
+        # doubles the conv_id shuffle and the annotated sink). Default it
+        # OFF here — mirroring the reference's retain_orig_docs=false
+        # (originals deleted after redaction, reference backend/src/
+        # lambda/redact.py:240-243). run_pipeline keeps the config's
+        # standalone default (True) for users who want the audit column;
+        # pass an explicit cfg to override either way.
+        import dataclasses
+
+        cfg = dataclasses.replace(PipelineConfig(), retain_original_text=False)
     ccfg = ccfg or CurationConfig()
     work = work_dir.rstrip("/")
     paths = {

@@ -68,6 +68,7 @@ def annotate(
     cfg: PipelineConfig,
     spark: SparkSession | None = None,
     conv_partitioned: bool = False,
+    ppl_train_df: DataFrame | None = None,
 ) -> DataFrame:
     """transcripts -> annotated (adds lang, lang_conf, ppl, heuristic cols,
     keep, drop_reasons, scrubbed_text, scrub_counts).
@@ -98,7 +99,15 @@ def annotate(
             train_char_trigram_lm,
         )
 
-        ppl_model = train_char_trigram_lm(df, "text")
+        # Fit on ppl_train_df when given — run_pipeline passes the FULL
+        # input (before the resume bucket filter) so every bucket of a
+        # run_id scores against the same model no matter where a prior
+        # attempt died; fitting on the filtered remainder would make ppl,
+        # the high_ppl gate, and keep/drop depend on resume state,
+        # breaking the deterministic checkpoint/resume contract.
+        ppl_model = train_char_trigram_lm(
+            df if ppl_train_df is None else ppl_train_df, "text"
+        )
     fused_udf = make_annotate_udf(
         spark, normalize=cfg.normalize_unicode, ppl_model=ppl_model
     )
@@ -423,7 +432,10 @@ def run_pipeline(
     # one Spark job over all remaining buckets (bucket pruning via filter
     # — with Iceberg this is partition pruning on the metadata scan)
     part = src.filter(F.col(BUCKET_COL).isin(todo))
-    ann = annotate(part, cfg, spark)
+    # ppl_train_df=src: the fluency model (when cfg.train_ppl_on_corpus)
+    # is fit on the FULL input, not the resume remainder — resume must
+    # score against the same model the first attempt did
+    ann = annotate(part, cfg, spark, ppl_train_df=src)
     # stamp provenance into the rows: a reused output path can hold other
     # runs' rows in buckets this run never overwrites (dynamic overwrite
     # only replaces buckets it writes to), so lineage and reports must

@@ -293,3 +293,40 @@ def test_repeated_span_text_never_enters_an_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "BroadcastExchange" not in line:
             assert "text#" not in line, line
+
+
+def test_llm_curation_composition_plan(spark):
+    """The composed decontaminate -> DSIR chain (llm_curation) must add
+    ZERO corpus-row shuffles on top of DSIR's own gram aggregations:
+    the decontamination keep-list is derived ONCE (lineage-truncated,
+    ids only) and reaches each of DSIR's three corpus reads as a
+    broadcast semi-join. Without the truncation the whole contamination
+    groupBy chain replays per read (observed: 10 hash exchanges and 9
+    parquet scans instead of 4 and 3)."""
+    from pii_redaction_data_pipeline_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+    from pii_redaction_data_pipeline_spark.operators.dsir import dsir_weights
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).filter(
+        "doc_id < 300"
+    )
+    bench = docs.filter("doc_id % 7 = 3").select("text")
+    base = dsir_weights(docs, docs.filter("doc_id % 5 = 1").select("text"))
+    keep = (
+        contamination_flags(docs, bench, k=8)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    clean = docs.join(keep, "doc_id", "semi")
+    comp = dsir_weights(clean, clean.filter("doc_id % 5 = 1").select("text"))
+    base_p, comp_p = plan_of(base), plan_of(comp)
+    n_base = len(re.findall(r"\bExchange hashpartitioning", base_p))
+    n_comp = len(re.findall(r"\bExchange hashpartitioning", comp_p))
+    assert n_comp == n_base, (n_base, n_comp, comp_p[:1200])
+    # each corpus read filters through a broadcast of the keep list
+    assert len(re.findall(r"Scan ExistingRDD", comp_p)) == 3, comp_p[:1200]
+    # the keep-list semi-joins must not degrade any join to sort-merge
+    assert comp_p.count("SortMergeJoin") == base_p.count("SortMergeJoin")
