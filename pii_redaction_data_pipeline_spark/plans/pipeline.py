@@ -302,78 +302,57 @@ def lineage_metrics(
     otherwise a rerun would re-process them forever (found by the
     kill-and-resume probe).
 
-    Plan shape: ONE scan of the written table. Each row flattens into a
-    small entries array — a 'row' sentinel (carrying keep) plus one
-    entry per drop reason and per scrub-count pair — which explodes
-    into a single (bucket, kind, key)->sum aggregation; totals and both
-    maps are then pivoted out of that one aggregate. The previous shape
-    ran three scans (totals / reasons / scrub) over the same 2M+ rows —
-    two redundant passes that at 100 TB would each re-read the output."""
-    row_mark = F.array(
-        F.struct(
-            F.lit("row").alias("kind"),
-            F.col("keep").cast("string").alias("key"),
-            F.lit(1).cast("long").alias("n"),
-        )
-    )
-    reason_entries = F.transform(
-        F.coalesce("drop_reasons", F.array().cast("array<string>")),
-        lambda r: F.struct(
-            F.lit("reason").alias("kind"),
-            r.alias("key"),
-            F.lit(1).cast("long").alias("n"),
-        ),
-    )
-    scrub_entries = F.transform(
-        F.map_entries(
-            F.coalesce("scrub_counts", F.create_map().cast("map<string,int>"))
-        ),
-        lambda kv: F.struct(
-            F.lit("scrub").alias("kind"),
-            kv["key"].alias("key"),
-            kv["value"].cast("long").alias("n"),
-        ),
-    )
-    flat = annotated_out.select(
-        BUCKET_COL,
-        F.explode(F.concat(row_mark, reason_entries, scrub_entries)).alias("e"),
-    ).select(BUCKET_COL, "e.kind", "e.key", "e.n")
-    per_key = flat.groupBy(BUCKET_COL, "kind", "key").agg(F.sum("n").alias("n"))
+    Plan shape: ONE scan of the written table and ONE groupBy(bucket)
+    whose aggregate list is built from the FIXED taxonomies — one
+    conditional sum per drop reason (config.DROP_REASONS) and per PII
+    type (scrub.PII_TYPES) — then the maps are reassembled from the
+    nonzero columns. No explode, no per-key shuffle, no collect_list
+    pivot: the previous explode shape re-materialized ~3 rows per output
+    row before its (bucket, kind, key) exchange, which at 100 TB tripled
+    the pass this table exists to keep cheap. The taxonomy-column trick
+    is only legal because both key sets are closed at config time (the
+    reference's Manifest counts are likewise a fixed column set,
+    pii-output.py:91-93)."""
+    from pii_redaction_data_pipeline_spark.config import DROP_REASONS
+    from pii_redaction_data_pipeline_spark.functions.scrub import PII_TYPES
 
-    def pivot_map(kind: str) -> F.Column:
+    reasons = F.coalesce("drop_reasons", F.array().cast("array<string>"))
+    scrubs = F.coalesce("scrub_counts", F.create_map().cast("map<string,int>"))
+    aggs = [
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("keep").cast("long")).alias("rows_out"),
+    ]
+    for r in DROP_REASONS:
+        aggs.append(F.sum(F.array_contains(reasons, r).cast("long")).alias(f"_r_{r}"))
+    for t in PII_TYPES:
+        aggs.append(
+            F.sum(F.coalesce(F.element_at(scrubs, F.lit(t)), F.lit(0)).cast("long"))
+            .alias(f"_s_{t}")
+        )
+    agg = annotated_out.groupBy(BUCKET_COL).agg(*aggs)
+
+    def tax_map(prefix: str, keys) -> F.Column:
+        # entries in sorted key order (the pivot shape array_sorted too);
+        # zero counts drop out, all-zero -> NULL like the old left join
         entries = F.filter(
-            F.collect_list(F.struct("kind", "key", "n")),
-            lambda s: s["kind"] == kind,
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"), F.col(f"{prefix}{k}").alias("value")
+                    )
+                    for k in sorted(keys)
+                ]
+            ),
+            lambda s: s["value"] > 0,
         )
-        return F.map_from_entries(
-            F.array_sort(
-                F.transform(entries, lambda s: F.struct(s["key"], s["n"]))
-            )
-        )
+        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
 
-    agg = per_key.groupBy(BUCKET_COL).agg(
-        F.sum(F.when(F.col("kind") == "row", F.col("n")).otherwise(0)).alias(
-            "rows_in"
-        ),
-        F.sum(
-            F.when(
-                (F.col("kind") == "row") & (F.col("key") == "true"), F.col("n")
-            ).otherwise(0)
-        ).alias("rows_out"),
-        pivot_map("reason").alias("drop_reason_counts"),
-        pivot_map("scrub").alias("scrub_counts"),
-    )
-    # empty maps -> null, matching the previous left-join shape
     totals = agg.select(
         BUCKET_COL,
         "rows_in",
         "rows_out",
-        F.when(F.size("drop_reason_counts") > 0, F.col("drop_reason_counts")).alias(
-            "drop_reason_counts"
-        ),
-        F.when(F.size("scrub_counts") > 0, F.col("scrub_counts")).alias(
-            "scrub_counts"
-        ),
+        tax_map("_r_", DROP_REASONS).alias("drop_reason_counts"),
+        tax_map("_s_", PII_TYPES).alias("scrub_counts"),
     )
     if buckets is not None:
         spark = annotated_out.sparkSession
