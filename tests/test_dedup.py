@@ -594,3 +594,29 @@ class TestRepeatedSpanDedup:
         # cut docs are token-rebuilt (stated loss mode)
         assert out[2]["text_clean"] == ""
         assert out[3]["text_clean"] == "zz yy"
+
+
+def test_null_text_coerces_to_empty_in_span_and_line_dedup(spark):
+    """NULL text must behave like '' in both corpus-level rebuild
+    operators (round-4 advice): split(NULL) is NULL and size(NULL) is
+    -1, which used to leak (NULL, -1, -1) rows out of
+    repeated_span_dedup."""
+    from pyspark.sql import types as T
+
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        corpus_line_dedup,
+        repeated_span_dedup,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h"), (3, "a b c d e f g h zz")], schema
+    )
+    span = {r["doc_id"]: r for r in repeated_span_dedup(df, k=8, min_docs=2).collect()}
+    assert span[1]["text_clean"] == ""
+    assert (span[1]["n_tokens"], span[1]["n_kept"]) == (1, 1)
+    line = {r["doc_id"]: r for r in corpus_line_dedup(df, min_docs=2).collect()}
+    assert line[1]["text_clean"] == ""
+    assert (line[1]["n_lines"], line[1]["n_kept"]) == (1, 1)
