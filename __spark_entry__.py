@@ -1597,7 +1597,7 @@ def q_llm_curation(spark, sf_dir):
     corpus-wide exchanges are DSIR's own gram aggregations (plan-pinned
     by tests/test_plans.py::test_llm_curation_composition_plan)."""
     from pii_redaction_data_pipeline_spark.operators.decontaminate import (
-        contamination_flags,
+        decontaminate,
     )
     from pii_redaction_data_pipeline_spark.operators.dsir import dsir_select
     from pii_redaction_data_pipeline_spark.operators.quality_classifier import (
@@ -1607,19 +1607,11 @@ def q_llm_curation(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     bench = docs.filter(F.col("doc_id") % 7 == 3).select("text")
-    # materialize the decontamination KEEP LIST once (ids only, 8 B/doc):
-    # DSIR reads its corpus three times (stats, per-doc grams, target
-    # carve) — without this checkpoint each read would re-run the whole
-    # contamination groupBy chain (plan-pinned by
-    # tests/test_plans.py::test_llm_curation_composition_plan). Same
-    # lineage-truncation precedent as dsir_select's scored frame.
-    keep = (
-        contamination_flags(docs, bench, k=8)
-        .filter(~F.col("contaminated"))
-        .select("doc_id")
-        .localCheckpoint(eager=False)
-    )
-    clean = docs.join(keep, "doc_id", "semi")
+    # materialize_keep: DSIR reads its corpus three times (stats,
+    # per-doc grams, target carve) — the keep-list checkpoint stops each
+    # read re-running the whole contamination chain (plan-pinned by
+    # tests/test_plans.py::test_llm_curation_composition_plan)
+    clean = decontaminate(docs, bench, k=8, materialize_keep=True)
     target = clean.filter(F.col("doc_id") % 5 == 1).select("text")
     sel = dsir_select(clean, target, k_top=60).filter("selected")
 

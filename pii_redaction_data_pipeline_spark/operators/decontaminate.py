@@ -99,10 +99,23 @@ def decontaminate(
     bench_text_col: str = "text",
     k: int = 8,
     max_hits: int = 0,
+    materialize_keep: bool = False,
 ) -> DataFrame:
-    """Corpus minus contaminated documents (all original columns)."""
+    """Corpus minus contaminated documents (all original columns).
+
+    materialize_keep: lineage-truncate the keep-list (ids only, 8 B/doc)
+    before the semi-join. Essential when the RESULT feeds an operator
+    that scans its input several times (DSIR's stats + per-doc-gram +
+    target reads, dedup's multi-branch plans): without it each consumer
+    re-derives the whole contamination groupBy chain — measured 10 hash
+    exchanges / 9 corpus scans instead of 4 / 3 under DSIR
+    (tests/test_plans.py::test_llm_curation_composition_plan). Same
+    localCheckpoint executor-loss caveat as dsir_select's scored frame;
+    single-consumer callers keep the default lazy plan."""
     flags = contamination_flags(
         corpus, benchmark, id_col, text_col, bench_text_col, k, max_hits
     )
     keep = flags.filter(~F.col("contaminated")).select(id_col)
+    if materialize_keep:
+        keep = keep.localCheckpoint(eager=False)
     return corpus.join(keep, id_col, "semi")

@@ -304,23 +304,16 @@ def test_llm_curation_composition_plan(spark):
     groupBy chain replays per read (observed: 10 hash exchanges and 9
     parquet scans instead of 4 and 3)."""
     from pii_redaction_data_pipeline_spark.operators.decontaminate import (
-        contamination_flags,
+        decontaminate,
     )
     from pii_redaction_data_pipeline_spark.operators.dsir import dsir_weights
-    from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).filter(
         "doc_id < 300"
     )
     bench = docs.filter("doc_id % 7 = 3").select("text")
     base = dsir_weights(docs, docs.filter("doc_id % 5 = 1").select("text"))
-    keep = (
-        contamination_flags(docs, bench, k=8)
-        .filter(~F.col("contaminated"))
-        .select("doc_id")
-        .localCheckpoint(eager=False)
-    )
-    clean = docs.join(keep, "doc_id", "semi")
+    clean = decontaminate(docs, bench, k=8, materialize_keep=True)
     comp = dsir_weights(clean, clean.filter("doc_id % 5 = 1").select("text"))
     base_p, comp_p = plan_of(base), plan_of(comp)
     n_base = len(re.findall(r"\bExchange hashpartitioning", base_p))
