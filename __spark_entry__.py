@@ -1680,9 +1680,9 @@ _LLM_CURATION_SQL = r"""
 def q_multimodal_decode_stub(spark, sf_dir):
     """Stubbed media decode via mapInPandas (schema/batch plumbing real).
 
-    Not registered in queries() (50-entry harness budget; multimodal_meta
-    holds the family's driver slot, resize/frames live in the pruned
-    oracles) — kept callable for tests/test_facades.py and direct use."""
+    Not registered in queries() (multimodal_meta holds the family's
+    driver slot, resize/frames live in the pruned oracles) — kept
+    callable for tests/test_facades.py and direct use."""
     from pii_redaction_data_pipeline_spark.operators.multimodal import (
         attach_binary,
         decode_image_meta,
@@ -2830,8 +2830,8 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
-# Oracle SQL for the queries pruned from the 50-entry driver contract
-# (see queries() docstring) — still value-checked locally by
+# Oracle SQL for the queries pruned from the driver contract across
+# rounds (see queries() docstring) — still value-checked locally by
 # tests/test_pruned_oracles.py so the operators cannot silently rot.
 PRUNED_QUERIES = {
     "tpch_q6": q_tpch_q6,
