@@ -1568,8 +1568,9 @@ def q_llm_curation(spark, sf_dir):
       1. decontaminate: drop every document sharing a word-8-gram with
          the benchmark carve (doc_id % 7 == 3) — GPT-3 appendix C.
       2. dsir_select over the survivors: target register = the
-         doc_id % 5 == 1 carve of the survivors, top-60 by importance
-         weight (Xie et al. 2023).
+         doc_id % 5 == 1 carve of the corpus (an EXTERNAL register —
+         independent of the decontamination, as a real curated target
+         set would be), top-60 by importance weight (Xie et al. 2023).
       3. learned gate: a logistic filter trained in-query on (the
          300-doc corpus carve as the curated register) vs 60 planted
          consonant-soup junk documents (Brown et al. 2020 appendix A /
@@ -1596,39 +1597,35 @@ def q_llm_curation(spark, sf_dir):
     DSIR's gram scans as a (broadcastable) semi-join, so the only
     corpus-wide exchanges are DSIR's own gram aggregations (plan-pinned
     by tests/test_plans.py::test_llm_curation_composition_plan)."""
-    from pii_redaction_data_pipeline_spark.operators.decontaminate import (
-        decontaminate,
-    )
-    from pii_redaction_data_pipeline_spark.operators.dsir import dsir_select
     from pii_redaction_data_pipeline_spark.operators.quality_classifier import (
         score_quality,
         train_quality_classifier,
     )
+    from pii_redaction_data_pipeline_spark.plans.select import (
+        curate_training_corpus,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     bench = docs.filter(F.col("doc_id") % 7 == 3).select("text")
-    # materialize_keep: DSIR reads its corpus three times (stats,
-    # per-doc grams, target carve) — the keep-list checkpoint stops each
-    # read re-running the whole contamination chain (plan-pinned by
+    target = docs.filter(F.col("doc_id") % 5 == 1).select("text")
+    # stages 1-2 via the package composition (plans/select.py owns the
+    # keep-list truncation + broadcast decisions; plan-pinned by
     # tests/test_plans.py::test_llm_curation_composition_plan)
-    clean = decontaminate(docs, bench, k=8, materialize_keep=True)
-    target = clean.filter(F.col("doc_id") % 5 == 1).select("text")
-    sel = dsir_select(clean, target, k_top=60).filter("selected")
+    sel = curate_training_corpus(docs, bench, target, k_top=60)
 
     junk = _junk_docs()
     clf = train_quality_classifier(
         docs.select("text"),
         spark.createDataFrame([(t,) for t in junk], "text string"),
     )
+    # the gate is applied OUTSIDE curate_training_corpus here so the
+    # planted junk probes (sentinel ids, never in the corpus) can ride
+    # through the same scoring pass and witness the gate in the oracle
     probes = spark.createDataFrame(
         [(1_000_000_000 + i, t) for i, t in enumerate(junk)],
         "doc_id long, text string",
     )
-    cand = (
-        sel.select("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .unionByName(probes)
-    )
+    cand = sel.select("doc_id", "text").unionByName(probes)
     kept = score_quality(cand, clf).filter(F.col("q_score") > 0.5)
     return (
         kept.select("doc_id")
@@ -1657,7 +1654,14 @@ _LLM_CURATION_SQL = r"""
             w || CASE WHEN len(w) >= 2
                  THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
                  ELSE CAST([] AS VARCHAR[]) END) AS g) AS G),
-    tgt AS (SELECT g, count(*) AS ct FROM grams WHERE doc_id % 5 = 1 GROUP BY g),
+    tnorm AS (SELECT * FROM norm0 WHERE doc_id % 5 = 1),
+    tgrams AS (
+        SELECT doc_id, G.g FROM tnorm,
+        LATERAL (SELECT unnest(
+            w || CASE WHEN len(w) >= 2
+                 THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                 ELSE CAST([] AS VARCHAR[]) END) AS g) AS G),
+    tgt AS (SELECT g, count(*) AS ct FROM tgrams GROUP BY g),
     raw AS (SELECT g, count(*) AS cr FROM grams GROUP BY g),
     stats AS (
         SELECT coalesce(t.g, r.g) AS g,

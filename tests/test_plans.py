@@ -312,14 +312,17 @@ def test_llm_curation_composition_plan(spark):
         "doc_id < 300"
     )
     bench = docs.filter("doc_id % 7 = 3").select("text")
-    base = dsir_weights(docs, docs.filter("doc_id % 5 = 1").select("text"))
+    target = docs.filter("doc_id % 5 = 1").select("text")
+    base = dsir_weights(docs, target)
     clean = decontaminate(docs, bench, k=8, materialize_keep=True)
-    comp = dsir_weights(clean, clean.filter("doc_id % 5 = 1").select("text"))
+    comp = dsir_weights(clean, target)
     base_p, comp_p = plan_of(base), plan_of(comp)
     n_base = len(re.findall(r"\bExchange hashpartitioning", base_p))
     n_comp = len(re.findall(r"\bExchange hashpartitioning", comp_p))
     assert n_comp == n_base, (n_base, n_comp, comp_p[:1200])
-    # each corpus read filters through a broadcast of the keep list
-    assert len(re.findall(r"Scan ExistingRDD", comp_p)) == 3, comp_p[:1200]
+    # each corpus read of `clean` filters through a broadcast of the
+    # keep list (stats-raw + per-doc grams; the external target reads
+    # the raw parquet directly)
+    assert len(re.findall(r"Scan ExistingRDD", comp_p)) == 2, comp_p[:1200]
     # the keep-list semi-joins must not degrade any join to sort-merge
     assert comp_p.count("SortMergeJoin") == base_p.count("SortMergeJoin")
