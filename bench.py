@@ -59,6 +59,10 @@ HEADLINE = [
     "decontaminate",
     "dsir_select",
     "semdedup",
+    # round 5: uncapped full-table span remover (the other new round-5
+    # queries — simhash, llm_curation — are fixture-capped, not scale
+    # probes, and stay out of the headline)
+    "repeated_span",
     "pipeline_documents",
 ]
 

@@ -35,23 +35,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_hashes(text_col: str, k: int) -> F.Column:
-    """array<long> of distinct word-k-gram xxhash64 hashes (JVM-only);
-    rows with fewer than k words contribute no grams — a 3-word snippet
-    cannot witness a 8-gram contamination."""
+def _gram_hash_frame(df: DataFrame, text_col: str, k: int, keep=()) -> DataFrame:
+    """-> (*keep, _dc_grams: array<long>): distinct word-k-gram xxhash64
+    hashes per row (JVM-only); rows with fewer than k words contribute
+    no grams — a 3-word snippet cannot witness an 8-gram contamination.
+
+    The normalized split is materialized as a column BEFORE the gram
+    transform: a lambda body that slices the split EXPRESSION re-runs
+    the regex split per gram (higher-order functions don't eliminate
+    common subexpressions across the lambda boundary) — O(words^2) per
+    document."""
     words = F.split(
         F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
     )
-    n = F.size(words)
-    return F.when(
+    w = F.col("_dc_ws")
+    n = F.size(w)
+    grams = F.when(
         n >= k,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))),
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
+    return df.select(*keep, words.alias("_dc_ws")).select(
+        *keep, grams.alias("_dc_grams")
+    )
 
 
 def contamination_flags(
@@ -73,13 +83,13 @@ def contamination_flags(
     Documents with < k words have n_grams = 0 and are never flagged.
     """
     bench_grams = (
-        benchmark.select(
-            F.explode(_gram_hashes(bench_text_col, k)).alias("g")
-        ).distinct()
+        _gram_hash_frame(benchmark, bench_text_col, k)
+        .select(F.explode("_dc_grams").alias("g"))
+        .distinct()
     )
-    doc_grams = corpus.select(
-        F.col(id_col), F.explode_outer(_gram_hashes(text_col, k)).alias("g")
-    )
+    doc_grams = _gram_hash_frame(
+        corpus, text_col, k, keep=(F.col(id_col),)
+    ).select(id_col, F.explode_outer("_dc_grams").alias("g"))
     hits = (
         doc_grams.join(bench_grams.withColumn("_hit", F.lit(1)), "g", "left")
         .groupBy(id_col)

@@ -654,16 +654,20 @@ def ngram_jaccard_pairs(
     remains the small-scale ground truth; the sketches
     (minhash/simhash) are the 100 TB path."""
     words = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-    n = F.size(words)
+    # materialize the split before the gram transform: slicing the split
+    # EXPRESSION inside the lambda re-runs the regex split per gram
+    # (no common-subexpression elimination across the lambda boundary)
+    w_attr = F.col("_nj_ws")
+    n = F.size(w_attr)
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            lambda i: F.concat_ws(" ", F.slice(w_attr, i + 1, k)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("g"))
+    ).otherwise(F.array(F.concat_ws(" ", w_attr)))
+    sh = df.select(F.col(id_col).alias("id"), words.alias("_nj_ws")).select(
+        "id", F.explode(F.array_distinct(grams)).alias("g")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     joinable = sh
@@ -862,14 +866,22 @@ def repeated_span_dedup(
     # NULL and size(NULL) is -1, which would leak (NULL, -1, -1) rows
     ws = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
     n = F.size(ws)
-    # guard n < k: sequence(0, n-k) would DESCEND into negatives
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(empty_int_arr)
-    gram_hashes = F.transform(
-        starts, lambda i: F.xxhash64(F.array_join(F.slice(ws, i + 1, k), " "))
+    # guard n < k: sequence(0, n-k) would DESCEND into negatives.
+    # The split is MATERIALIZED as a column before the gram transform:
+    # a lambda body that references the split EXPRESSION re-evaluates
+    # the regex split per element (higher-order functions don't
+    # common-subexpression across the lambda boundary) — O(words^2)
+    # per document; measured 6x on the detect stage at sf0.1.
+    ws_attr = F.col("_rs_ws")
+    n_attr = F.size(ws_attr)
+    starts = F.when(n_attr >= k, F.sequence(F.lit(0), n_attr - k)).otherwise(
+        empty_int_arr
     )
-    slim = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(gram_hashes).alias("pos", "h"),
+    gram_hashes = F.transform(
+        starts, lambda i: F.xxhash64(F.array_join(F.slice(ws_attr, i + 1, k), " "))
+    )
+    slim = df.select(F.col(id_col).alias("id"), ws.alias("_rs_ws")).select(
+        "id", F.posexplode(gram_hashes).alias("pos", "h")
     )
     boiler = (
         slim.select("h", "id")

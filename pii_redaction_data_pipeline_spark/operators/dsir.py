@@ -53,15 +53,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_keys(text_col: str, ns: Sequence[int], n_buckets: int | None) -> F.Column:
-    """array<long> of gram keys (with multiplicity — counts matter for
-    the bag-of-grams model, unlike decontamination's distinct sets).
-    Normalization matches the dedup/decontaminate family: lower +
-    whitespace-collapse, split on single spaces (an empty text yields
-    one empty-string unigram in both Spark and the DuckDB oracle)."""
-    words = F.split(
+def _exploded_gram_frame(
+    df: DataFrame, text_col: str, ns: Sequence[int], n_buckets: int | None, keep=()
+) -> DataFrame:
+    """-> (*keep, g: long), ONE ROW PER GRAM OCCURRENCE (multiplicity
+    preserved — counts matter for the bag-of-grams model, unlike
+    decontamination's distinct sets). Normalization matches the dedup/
+    decontaminate family: lower + whitespace-collapse, split on single
+    spaces (an empty text yields one empty-string unigram in both Spark
+    and the DuckDB oracle).
+
+    Plan shape matters here: the split is materialized by a projection
+    UNDER the explode's Generate node, and the gram transforms live in
+    the generator expression referencing that attribute. Slicing the
+    split EXPRESSION inside the lambda would re-run the regex split per
+    gram (higher-order functions don't eliminate common subexpressions
+    across the lambda boundary — O(words^2)/doc), and materializing it
+    in an adjacent PROJECTION instead gets undone by CollapseProject,
+    which inlines the alias right back into the lambda (measured 5x
+    worse). Generate does not collapse into its child projection, so
+    this shape keeps exactly one split per row."""
+    split_expr = F.split(
         F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
     )
+    words = F.col("_dsir_ws")
     n = F.size(words)
 
     def key_of(gram: F.Column) -> F.Column:
@@ -88,13 +103,16 @@ def _gram_keys(text_col: str, ns: Sequence[int], n_buckets: int | None) -> F.Col
             ).otherwise(F.array().cast("array<long>"))
         )
         per_n.append(keys)
-    return per_n[0] if len(per_n) == 1 else F.concat(*per_n)
+    grams = per_n[0] if len(per_n) == 1 else F.concat(*per_n)
+    return df.select(*keep, split_expr.alias("_dsir_ws")).select(
+        *keep, F.explode(grams).alias("g")
+    )
 
 
 def _key_counts(df: DataFrame, text_col: str, ns, n_buckets) -> DataFrame:
     """(g, c) global gram-key counts — one narrow agg, 8-byte keys."""
     return (
-        df.select(F.explode(_gram_keys(text_col, ns, n_buckets)).alias("g"))
+        _exploded_gram_frame(df, text_col, ns, n_buckets)
         .groupBy("g")
         .agg(F.count("*").alias("c"))
     )
@@ -202,9 +220,7 @@ def dsir_weights(
         else math.log(alpha / (t + alpha * v)) - math.log(alpha / (r + alpha * v))
     )
     doc_grams = (
-        corpus.select(
-            F.col(id_col), F.explode(_gram_keys(text_col, ns, n_buckets)).alias("g")
-        )
+        _exploded_gram_frame(corpus, text_col, ns, n_buckets, keep=(F.col(id_col),))
         .groupBy(id_col, "g")
         .agg(F.count("*").alias("c"))
     )
