@@ -1542,18 +1542,12 @@ _DSIR_SQL = r"""
 
 
 def _junk_docs(n: int = 60) -> list[str]:
-    """Deterministic consonant-soup junk documents, vocab disjoint from
-    the documents table's word list — the planted negative register for
-    the learned quality filter (same recipe as
-    tests/test_quality_classifier.py)."""
-    import random
+    """The canonical planted junk register (datagen.junk_register —
+    shared with the pytest F1/gate evidence so the oracle's margin
+    argument stays backed by it)."""
+    from pii_redaction_data_pipeline_spark.datagen import junk_register
 
-    vocab = [
-        "".join(random.Random(97 * i + 13).choices("bcdfghjklmnpqrstvwxz", k=7))
-        for i in range(60)
-    ]
-    rng = random.Random(991)
-    return [" ".join(rng.choices(vocab, k=rng.randint(8, 24))) for _ in range(n)]
+    return junk_register(n)
 
 
 def q_llm_curation(spark, sf_dir):

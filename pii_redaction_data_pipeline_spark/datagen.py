@@ -245,6 +245,26 @@ def _gibberish(rng: np.random.Generator) -> str:
     return " ".join(words)
 
 
+def junk_register(n: int = 60) -> list[str]:
+    """Deterministic consonant-soup junk documents — the canonical
+    planted NEGATIVE register for the learned quality filter. One
+    recipe, two consumers: the driver's llm_curation probes
+    (__spark_entry__.py) and the pytest F1/gate evidence
+    (tests/test_quality_classifier.py) MUST train/score against the
+    same junk register, or the oracle's margin argument (junk scores
+    <= 0.004 vs real >= 0.99) stops being backed by the pytest
+    evidence. Vocabulary is consonant-only 7-grams — disjoint by
+    construction from every word-like fixture vocabulary."""
+    import random
+
+    vocab = [
+        "".join(random.Random(97 * i + 13).choices("bcdfghjklmnpqrstvwxz", k=7))
+        for i in range(60)
+    ]
+    rng = random.Random(991)
+    return [" ".join(rng.choices(vocab, k=rng.randint(8, 24))) for _ in range(n)]
+
+
 def _long_text(k: int) -> str:
     parts = []
     i = k

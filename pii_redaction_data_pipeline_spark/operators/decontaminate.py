@@ -35,16 +35,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_hash_frame(df: DataFrame, text_col: str, k: int, keep=()) -> DataFrame:
-    """-> (*keep, _dc_grams: array<long>): distinct word-k-gram xxhash64
-    hashes per row (JVM-only); rows with fewer than k words contribute
-    no grams — a 3-word snippet cannot witness an 8-gram contamination.
+def _exploded_gram_frame(
+    df: DataFrame, text_col: str, k: int, keep=(), outer: bool = False
+) -> DataFrame:
+    """-> (*keep, g: long), one row per DISTINCT word-k-gram xxhash64
+    hash (JVM-only); rows with fewer than k words contribute no grams —
+    a 3-word snippet cannot witness an 8-gram contamination. With
+    outer=True those rows still emit one (g=NULL) row so per-document
+    aggregations keep them.
 
-    The normalized split is materialized as a column BEFORE the gram
-    transform: a lambda body that slices the split EXPRESSION re-runs
-    the regex split per gram (higher-order functions don't eliminate
-    common subexpressions across the lambda boundary) — O(words^2) per
-    document."""
+    Plan shape contract (operators/dsir.py _exploded_gram_frame has the
+    full rationale): the normalized split is materialized in a
+    projection directly UNDER the explode's Generate node and the gram
+    transform references it as an attribute. A lambda that slices the
+    split EXPRESSION re-runs the regex split per gram (O(words^2)/doc),
+    and an adjacent plain Project gets collapsed by the optimizer,
+    inlining the alias right back into the lambda."""
     words = F.split(
         F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
     )
@@ -59,9 +65,8 @@ def _gram_hash_frame(df: DataFrame, text_col: str, k: int, keep=()) -> DataFrame
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return df.select(*keep, words.alias("_dc_ws")).select(
-        *keep, grams.alias("_dc_grams")
-    )
+    gen = F.explode_outer(grams) if outer else F.explode(grams)
+    return df.select(*keep, words.alias("_dc_ws")).select(*keep, gen.alias("g"))
 
 
 def contamination_flags(
@@ -82,14 +87,10 @@ def contamination_flags(
 
     Documents with < k words have n_grams = 0 and are never flagged.
     """
-    bench_grams = (
-        _gram_hash_frame(benchmark, bench_text_col, k)
-        .select(F.explode("_dc_grams").alias("g"))
-        .distinct()
+    bench_grams = _exploded_gram_frame(benchmark, bench_text_col, k).distinct()
+    doc_grams = _exploded_gram_frame(
+        corpus, text_col, k, keep=(F.col(id_col),), outer=True
     )
-    doc_grams = _gram_hash_frame(
-        corpus, text_col, k, keep=(F.col(id_col),)
-    ).select(id_col, F.explode_outer("_dc_grams").alias("g"))
     hits = (
         doc_grams.join(bench_grams.withColumn("_hit", F.lit(1)), "g", "left")
         .groupBy(id_col)

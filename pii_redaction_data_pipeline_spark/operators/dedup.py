@@ -597,24 +597,26 @@ def simhash_pairs(
     self-join). Without a persist, each branch would re-run the pandas
     signature UDF over the full corpus text — the single most expensive
     stage, executed ~6x. The default persists (id, sh) — 16 B/doc, not
-    text — MEMORY_AND_DISK, computes the pairs EAGERLY (one job, pairs
-    pinned output-bounded), then releases the signature cache before
-    returning, so repeated calls in a long session leak nothing. The
-    returned pairs frame is itself persisted (near-dup pair lists are
-    tiny next to corpus signatures); callers may .unpersist() it when
-    done. Pass False for a fully lazy plan when the caller has already
-    materialized signatures itself."""
+    text — MEMORY_AND_DISK, EAGERLY materializes the (output-bounded)
+    pairs via localCheckpoint while the signatures are cached, then
+    unpersists the signature frame before returning. The checkpoint
+    blocks are owned by the returned frame's RDD, so they are reclaimed
+    automatically by the ContextCleaner when the caller drops it —
+    repeated calls in a long session leak nothing and nothing needs a
+    manual unpersist (the executor-loss recompute caveat is the
+    components.py/dsir_select precedent). Pass False for a fully lazy
+    plan when the caller has already materialized signatures itself."""
     sim = make_simhash_udf()
     sdf = df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh"))
     if not persist_signatures:
         return simhash_sig_pairs(sdf, max_hamming, n_blocks)
     sdf = sdf.persist()
-    pairs = simhash_sig_pairs(sdf, max_hamming, n_blocks).persist()
     try:
-        pairs.count()  # materialize while signatures are cached (once)
+        return simhash_sig_pairs(sdf, max_hamming, n_blocks).localCheckpoint(
+            eager=True
+        )
     finally:
         sdf.unpersist()
-    return pairs
 
 
 # --- exact n-gram jaccard (explode/join ground truth) -----------------------

@@ -20,12 +20,6 @@ _CLEAN_VOCAB = (
     "written without errors"
 ).split()
 
-_JUNK_VOCAB = [
-    "".join(random.Random(97 * i + 13).choices("bcdfghjklmnpqrstvwxz", k=7))
-    for i in range(60)
-]
-
-
 def _docs(vocab, n, seed):
     rng = random.Random(seed)
     return [" ".join(rng.choices(vocab, k=rng.randint(8, 24))) for _ in range(n)]
@@ -33,15 +27,22 @@ def _docs(vocab, n, seed):
 
 @pytest.fixture(scope="module")
 def model_and_holdout(spark):
+    # the junk side is the CANONICAL planted register
+    # (datagen.junk_register) — the same one the llm_curation driver
+    # oracle trains against, so this module's F1/margin evidence backs
+    # that oracle's provable-gate argument
+    from pii_redaction_data_pipeline_spark.datagen import junk_register
+
+    junk = junk_register(400)
     pos = _docs(_CLEAN_VOCAB, 300, 1)
-    neg = _docs(_JUNK_VOCAB, 300, 2)
+    neg = junk[:300]
     model = train_quality_classifier(
         spark.createDataFrame([(t,) for t in pos], "text string"),
         spark.createDataFrame([(t,) for t in neg], "text string"),
         n_features=2 ** 15,
     )
     hold_pos = _docs(_CLEAN_VOCAB, 100, 3)
-    hold_neg = _docs(_JUNK_VOCAB, 100, 4)
+    hold_neg = junk[300:]
     return model, hold_pos, hold_neg
 
 
