@@ -421,27 +421,108 @@ def run_pipeline(
     # scope by run_id, not by directory
     ann = ann.withColumn("run_id", F.lit(run_id))
 
-    # run-level totals ride ALONG the write job via the Observation API
-    # (no extra pass over the data); per-bucket lineage still comes from
-    # a column-pruned re-read of what was actually persisted.
+    # run-level totals AND per-bucket lineage metrics ride ALONG the
+    # write job via the Observation API — no second pass over the data.
+    # The per-bucket aggregates are conditional sums over the fixed
+    # taxonomies (one expression per bucket x {rows, reason, pii type});
+    # the write job that commits the rows is the same job that counts
+    # them, so the observed values equal what was durably persisted
+    # (dynamic overwrite replaces every touched bucket with exactly this
+    # run's rows). Guarded by an expression budget: at production bucket
+    # counts (e.g. 4096 buckets at 100 TB) the expression list would
+    # leave whole-stage codegen, so large runs fall back to the original
+    # column-pruned re-read of the written table — one cheap scan that
+    # never decodes text.
     from pyspark.sql import Observation
 
-    obs = Observation(f"pipeline-{run_id}")
-    ann = ann.observe(
-        obs,
+    from pii_redaction_data_pipeline_spark.config import DROP_REASONS
+    from pii_redaction_data_pipeline_spark.functions.scrub import PII_TYPES
+    from pii_redaction_data_pipeline_spark.sources.lineage import LINEAGE_SCHEMA
+
+    obs_aggs = [
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(F.col("keep").cast("long")).alias("rows_out"),
         F.sum(F.size(F.map_values(F.coalesce(
             F.col("scrub_counts"), F.create_map())))).alias("pii_types_hit"),
+    ]
+    obs_metrics = (
+        len(todo) * (2 + len(DROP_REASONS) + len(PII_TYPES)) <= 1024
     )
-    io.write_bucketed(ann, output_path)
-    run_totals = dict(obs.get)
+    helper_cols: list[str] = []
+    if obs_metrics:
+        # per-row primitives computed ONCE as helper columns (projected
+        # away again right after the observe node) — the naive
+        # formulation re-evaluated array_contains/element_at inside
+        # every bucket's conditional, i.e. n_buckets x per row
+        reasons = F.coalesce("drop_reasons", F.array().cast("array<string>"))
+        scrubs = F.coalesce(
+            "scrub_counts", F.create_map().cast("map<string,int>")
+        )
+        helpers: dict[str, F.Column] = {"_lm_keep": F.col("keep").cast("long")}
+        for r in DROP_REASONS:
+            helpers[f"_lm_r_{r}"] = F.array_contains(reasons, r).cast("long")
+        for t in PII_TYPES:
+            helpers[f"_lm_s_{t}"] = F.coalesce(
+                F.element_at(scrubs, F.lit(t)), F.lit(0)
+            ).cast("long")
+        ann = ann.withColumns(helpers)
+        helper_cols = list(helpers)
+        zero = F.lit(0).cast("long")
+        for b in todo:
+            cond = F.col(BUCKET_COL) == b
+            obs_aggs.append(F.sum(
+                F.when(cond, F.lit(1).cast("long")).otherwise(zero)
+            ).alias(f"_b{b}_in"))
+            obs_aggs.append(F.sum(
+                F.when(cond, F.col("_lm_keep")).otherwise(zero)
+            ).alias(f"_b{b}_out"))
+            for r in DROP_REASONS:
+                obs_aggs.append(F.sum(
+                    F.when(cond, F.col(f"_lm_r_{r}")).otherwise(zero)
+                ).alias(f"_b{b}_r_{r}"))
+            for t in PII_TYPES:
+                obs_aggs.append(F.sum(
+                    F.when(cond, F.col(f"_lm_s_{t}")).otherwise(zero)
+                ).alias(f"_b{b}_s_{t}"))
 
-    out = spark.read.parquet(output_path)
-    if "run_id" not in out.columns:  # pre-run_id-column files (migration)
-        out = out.withColumn("run_id", F.lit(run_id))
-    out = out.filter(F.col(BUCKET_COL).isin(todo) & (F.col("run_id") == run_id))
-    metrics = lineage_metrics(out, run_id, buckets=todo)
+    obs = Observation(f"pipeline-{run_id}")
+    ann = ann.observe(obs, *obs_aggs)
+    if helper_cols:
+        ann = ann.drop(*helper_cols)
+    io.write_bucketed(ann, output_path)
+    vals = dict(obs.get)
+    run_totals = {k: vals[k] for k in ("rows_in", "rows_out", "pii_types_hit")}
+
+    if obs_metrics:
+        # assemble the LINEAGE_SCHEMA rows driver-side from the observed
+        # longs — same shape as lineage_metrics: maps in sorted key
+        # order, zero counts dropped, all-zero maps NULL
+        seq = int(time.time() * 1000)
+        rows = []
+        for b in todo:
+            rmap = {
+                r: int(vals[f"_b{b}_r_{r}"] or 0)
+                for r in sorted(DROP_REASONS)
+                if (vals[f"_b{b}_r_{r}"] or 0) > 0
+            } or None
+            smap = {
+                t: int(vals[f"_b{b}_s_{t}"] or 0)
+                for t in sorted(PII_TYPES)
+                if (vals[f"_b{b}_s_{t}"] or 0) > 0
+            } or None
+            rows.append((
+                run_id, str(b), int(vals[f"_b{b}_in"] or 0),
+                int(vals[f"_b{b}_out"] or 0), rmap, smap, "complete", seq,
+            ))
+        metrics = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+    else:
+        out = spark.read.parquet(output_path)
+        if "run_id" not in out.columns:  # pre-run_id-column files (migration)
+            out = out.withColumn("run_id", F.lit(run_id))
+        out = out.filter(
+            F.col(BUCKET_COL).isin(todo) & (F.col("run_id") == run_id)
+        )
+        metrics = lineage_metrics(out, run_id, buckets=todo)
     lineage.append(metrics)
 
     if fail_after_buckets is not None:
