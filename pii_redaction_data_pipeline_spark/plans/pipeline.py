@@ -40,6 +40,12 @@ from pii_redaction_data_pipeline_spark.sources.tables import (
 
 MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"  # mask token format; ppl strips these (functions/fused.py)
 
+# expression budget for riding per-bucket lineage aggregates on the write
+# job's Observation (CollectMetrics evaluates them per row OUTSIDE
+# whole-stage codegen); above this, run_pipeline falls back to the
+# column-pruned re-read of the written table
+LINEAGE_OBS_MAX_EXPRS = 1024
+
 
 def tune_shuffle_partitions(
     spark: SparkSession,
@@ -446,7 +452,8 @@ def run_pipeline(
             F.col("scrub_counts"), F.create_map())))).alias("pii_types_hit"),
     ]
     obs_metrics = (
-        len(todo) * (2 + len(DROP_REASONS) + len(PII_TYPES)) <= 1024
+        len(todo) * (2 + len(DROP_REASONS) + len(PII_TYPES))
+        <= LINEAGE_OBS_MAX_EXPRS
     )
     helper_cols: list[str] = []
     if obs_metrics:
