@@ -309,93 +309,91 @@ def run_curation(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", pre_shuffle_partitions)
 
-    # one cached frame shared by stages 2 and 5, PROJECTED to exactly the
-    # union of the columns they read (verdict: conv_id+keep; pack adds
-    # turn_idx+scrubbed_text) — caching the full annotated table would
-    # pay deserialize+store for entities/drop_reasons/scrub_counts/text
-    # that neither stage touches. MEMORY_AND_DISK by default,
-    # unpersisted before returning. Built LAZILY and only when a pending
-    # stage actually reads it: a resume whose remaining stages don't
-    # touch the annotated table (e.g. only 'sample' pending) must not
-    # fail on a missing/GC'd annotated directory.
-    stages_needing_annotated = {"conv_verdict", "pack"} - done
-    annotated = None
-    if stages_needing_annotated:
-        annotated = (
+    # stages 2 and 5 both read the annotated table, but their shared
+    # columns are only (conv_id, keep) — the text column pack needs is
+    # NOT worth a cache: an in-memory columnar cache of the scrubbed
+    # text measurably loses to a second column-pruned parquet scan
+    # (bench-scale A/B: pack stage ~10 s reading the shared cache vs
+    # ~5 s packing the same rows straight off parquet — cache build
+    # during verdict + cache read during pack both pay text
+    # (de)serialization that the parquet scan's column pruning never
+    # decodes twice), and at 100 TB caching the annotated table is a
+    # non-starter. Each stage therefore builds its own pruned scan:
+    # verdict reads (conv_id, keep); pack adds (turn_idx,
+    # scrubbed_text). Built LAZILY and only when a pending stage
+    # actually reads it: a resume whose remaining stages don't touch
+    # the annotated table (e.g. only 'sample' pending) must not fail
+    # on a missing/GC'd annotated directory.
+    def annotated_scan(*cols: str) -> DataFrame:
+        return (
             spark.read.parquet(paths["annotated"])
             .filter(F.col("run_id") == run_id)
-            .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+            .select("conv_id", "keep", *cols)
         )
-        if len(stages_needing_annotated) == 2:
-            annotated = annotated.cache()
 
-    try:
-        # --- stage 2: conversation verdict rollup ---
-        if "conv_verdict" not in done:
-            cv = conversation_verdict(
-                annotated, min_kept_frac=ccfg.min_kept_frac,
-                min_kept_turns=ccfg.min_kept_turns,
-            )
-            mark("conv_verdict", write_counted(cv, paths["conv_verdict"]))
-            ran.append("conv_verdict")
-            tick("conv_verdict")
+    # --- stage 2: conversation verdict rollup ---
+    if "conv_verdict" not in done:
+        cv = conversation_verdict(
+            annotated_scan(), min_kept_frac=ccfg.min_kept_frac,
+            min_kept_turns=ccfg.min_kept_turns,
+        )
+        mark("conv_verdict", write_counted(cv, paths["conv_verdict"]))
+        ran.append("conv_verdict")
+        tick("conv_verdict")
 
-        # --- stage 3: conversation near-dup dedup ---
-        if "conv_dedup" not in done:
-            kept = (
-                spark.read.parquet(paths["conv_verdict"])
-                .filter("conv_keep")
-                .select("conv_id")
-            )
-            # raw transcripts for the content identity (normalization-free:
-            # the same bytes a re-uploaded batch would carry); read through
-            # TableIO so an Iceberg input works here exactly as it does for
-            # the annotate stage (run_pipeline uses io.read on the same path)
-            from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+    # --- stage 3: conversation near-dup dedup ---
+    if "conv_dedup" not in done:
+        kept = (
+            spark.read.parquet(paths["conv_verdict"])
+            .filter("conv_keep")
+            .select("conv_id")
+        )
+        # raw transcripts for the content identity (normalization-free:
+        # the same bytes a re-uploaded batch would carry); read through
+        # TableIO so an Iceberg input works here exactly as it does for
+        # the annotate stage (run_pipeline uses io.read on the same path)
+        from pii_redaction_data_pipeline_spark.sources.tables import TableIO
 
-            tr = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
-            surv = dedup_survivor_convs(
-                tr, kept, ccfg.dedup_jaccard, est_margin=ccfg.dedup_est_margin,
-                checkpoint_dir=(
-                    f"{work}/dedup_ck" if ccfg.durable_dedup_checkpoints else None
-                ),
-            )
-            mark("conv_dedup", write_counted(surv, paths["survivor_convs"]))
-            ran.append("conv_dedup")
-            tick("conv_dedup")
+        tr = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
+        surv = dedup_survivor_convs(
+            tr, kept, ccfg.dedup_jaccard, est_margin=ccfg.dedup_est_margin,
+            checkpoint_dir=(
+                f"{work}/dedup_ck" if ccfg.durable_dedup_checkpoints else None
+            ),
+        )
+        mark("conv_dedup", write_counted(surv, paths["survivor_convs"]))
+        ran.append("conv_dedup")
+        tick("conv_dedup")
 
-        # --- stage 4: deterministic downsample ---
-        if "sample" not in done:
-            surv = spark.read.parquet(paths["survivor_convs"])
-            sampled = deterministic_sample(
-                surv, ccfg.sample_rate, ["conv_id"], seed=ccfg.sample_seed
-            )
-            mark("sample", write_counted(sampled, paths["sampled_convs"]))
-            ran.append("sample")
-            tick("sample")
+    # --- stage 4: deterministic downsample ---
+    if "sample" not in done:
+        surv = spark.read.parquet(paths["survivor_convs"])
+        sampled = deterministic_sample(
+            surv, ccfg.sample_rate, ["conv_id"], seed=ccfg.sample_seed
+        )
+        mark("sample", write_counted(sampled, paths["sampled_convs"]))
+        ran.append("sample")
+        tick("sample")
 
-        # --- stage 5: sequence packing of the curated turns ---
-        if "pack" not in done:
-            sampled = spark.read.parquet(paths["sampled_convs"])
-            curated = (
-                annotated
-                .filter("keep")
-                .join(sampled, "conv_id", "semi")
-                .withColumn(
-                    "pack_key",
-                    F.concat_ws("#", "conv_id", F.format_string("%012d", F.col("turn_idx"))),
-                )
+    # --- stage 5: sequence packing of the curated turns ---
+    if "pack" not in done:
+        sampled = spark.read.parquet(paths["sampled_convs"])
+        curated = (
+            annotated_scan("turn_idx", "scrubbed_text")
+            .filter("keep")
+            .join(sampled, "conv_id", "semi")
+            .withColumn(
+                "pack_key",
+                F.concat_ws("#", "conv_id", F.format_string("%012d", F.col("turn_idx"))),
             )
-            packed = pack_sequences(
-                curated, seq_tokens=ccfg.seq_tokens, n_buckets=ccfg.pack_buckets,
-                id_col="pack_key", text_col="scrubbed_text",
-            )
-            mark("pack", write_counted(packed, paths["packed"]))
-            ran.append("pack")
-            tick("pack")
-    finally:
-        if annotated is not None and len(stages_needing_annotated) == 2:
-            annotated.unpersist()
+        )
+        packed = pack_sequences(
+            curated, seq_tokens=ccfg.seq_tokens, n_buckets=ccfg.pack_buckets,
+            id_col="pack_key", text_col="scrubbed_text",
+        )
+        mark("pack", write_counted(packed, paths["packed"]))
+        ran.append("pack")
+        tick("pack")
 
     summary = {
         "run_id": run_id,

@@ -43,8 +43,17 @@ MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"  # mask token format; ppl strips these (
 # expression budget for riding per-bucket lineage aggregates on the write
 # job's Observation (CollectMetrics evaluates them per row OUTSIDE
 # whole-stage codegen); above this, run_pipeline falls back to the
-# column-pruned re-read of the written table
-LINEAGE_OBS_MAX_EXPRS = 1024
+# column-pruned re-read of the written table. Measured A/B at bench
+# scale (2M turns, 32 cores, scripts/profile_pack_lineage.py, warm
+# medians): the default 16-bucket config emits 256 expressions and the
+# observe path costs 18.4-20.4 s vs 15.3-16.2 s for the re-read — the
+# interpreted per-row aggregate eval loses to one text-free pruned scan
+# well before the codegen cliff the original 1024 budget guarded. Set
+# so only genuinely small runs (<=10 buckets at the default taxonomy,
+# where the per-row cost is a wash and skipping the second job's
+# scheduling latency wins) ride the observation; everything larger
+# re-reads.
+LINEAGE_OBS_MAX_EXPRS = 160
 
 
 def tune_shuffle_partitions(
