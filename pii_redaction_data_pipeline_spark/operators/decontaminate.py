@@ -34,6 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pii_redaction_data_pipeline_spark.functions.grams import (
+    explode_grams,
+    normalized_words,
+)
+
 
 def _exploded_gram_frame(
     df: DataFrame, text_col: str, k: int, keep=(), outer: bool = False
@@ -42,31 +47,28 @@ def _exploded_gram_frame(
     hash (JVM-only); rows with fewer than k words contribute no grams —
     a 3-word snippet cannot witness an 8-gram contamination. With
     outer=True those rows still emit one (g=NULL) row so per-document
-    aggregations keep them.
+    aggregations keep them. Plan shape (split-under-Generate) is owned
+    by functions/grams.explode_grams."""
 
-    Plan shape contract (operators/dsir.py _exploded_gram_frame has the
-    full rationale): the normalized split is materialized in a
-    projection directly UNDER the explode's Generate node and the gram
-    transform references it as an attribute. A lambda that slices the
-    split EXPRESSION re-runs the regex split per gram (O(words^2)/doc),
-    and an adjacent plain Project gets collapsed by the optimizer,
-    inlining the alias right back into the lambda."""
-    words = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    def grams(w):
+        n = F.size(w)
+        return F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return explode_grams(
+        df,
+        normalized_words(text_col),
+        grams,
+        keep=keep,
+        explode=F.explode_outer if outer else F.explode,
     )
-    w = F.col("_dc_ws")
-    n = F.size(w)
-    grams = F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    gen = F.explode_outer(grams) if outer else F.explode(grams)
-    return df.select(*keep, words.alias("_dc_ws")).select(*keep, gen.alias("g"))
 
 
 def contamination_flags(

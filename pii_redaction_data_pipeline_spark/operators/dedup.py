@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pii_redaction_data_pipeline_spark.functions.grams import (
+    explode_grams,
+    normalized_words,
+)
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -655,21 +660,20 @@ def ngram_jaccard_pairs(
     (no shingle reaches df 10k in a 200-doc corpus). This operator
     remains the small-scale ground truth; the sketches
     (minhash/simhash) are the 100 TB path."""
-    words = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-    # materialize the split before the gram transform: slicing the split
-    # EXPRESSION inside the lambda re-runs the regex split per gram
-    # (no common-subexpression elimination across the lambda boundary)
-    w_attr = F.col("_nj_ws")
-    n = F.size(w_attr)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(w_attr, i + 1, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w_attr)))
-    sh = df.select(F.col(id_col).alias("id"), words.alias("_nj_ws")).select(
-        "id", F.explode(F.array_distinct(grams)).alias("g")
+    def shingles(w):
+        n = F.size(w)
+        return F.array_distinct(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", w)))
+        )
+
+    sh = explode_grams(
+        df, normalized_words(text_col), shingles, keep=(F.col(id_col).alias("id"),)
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     joinable = sh
@@ -865,25 +869,29 @@ def repeated_span_dedup(
         raise ValueError(f"k must be >= 1, got {k}")
     empty_int_arr = F.array().cast("array<int>")
     # NULL text coerces to '' (the quality.py convention): split(NULL) is
-    # NULL and size(NULL) is -1, which would leak (NULL, -1, -1) rows
+    # NULL and size(NULL) is -1, which would leak (NULL, -1, -1) rows.
+    # NOT normalized_words: the passthrough contract is byte identity,
+    # so no case folding / whitespace collapsing before the split.
     ws = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
     n = F.size(ws)
-    # guard n < k: sequence(0, n-k) would DESCEND into negatives.
-    # The split is MATERIALIZED as a column before the gram transform:
-    # a lambda body that references the split EXPRESSION re-evaluates
-    # the regex split per element (higher-order functions don't
-    # common-subexpression across the lambda boundary) — O(words^2)
-    # per document; measured 6x on the detect stage at sf0.1.
-    ws_attr = F.col("_rs_ws")
-    n_attr = F.size(ws_attr)
-    starts = F.when(n_attr >= k, F.sequence(F.lit(0), n_attr - k)).otherwise(
-        empty_int_arr
-    )
-    gram_hashes = F.transform(
-        starts, lambda i: F.xxhash64(F.array_join(F.slice(ws_attr, i + 1, k), " "))
-    )
-    slim = df.select(F.col(id_col).alias("id"), ws.alias("_rs_ws")).select(
-        "id", F.posexplode(gram_hashes).alias("pos", "h")
+
+    def gram_hashes(w):
+        # guard n < k: sequence(0, n-k) would DESCEND into negatives
+        n_attr = F.size(w)
+        starts = F.when(n_attr >= k, F.sequence(F.lit(0), n_attr - k)).otherwise(
+            empty_int_arr
+        )
+        return F.transform(
+            starts, lambda i: F.xxhash64(F.array_join(F.slice(w, i + 1, k), " "))
+        )
+
+    slim = explode_grams(
+        df,
+        ws,
+        gram_hashes,
+        keep=(F.col(id_col).alias("id"),),
+        explode=F.posexplode,
+        out_cols=("pos", "h"),
     )
     boiler = (
         slim.select("h", "id")

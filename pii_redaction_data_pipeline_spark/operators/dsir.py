@@ -52,6 +52,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pii_redaction_data_pipeline_spark.functions.grams import (
+    explode_grams,
+    normalized_words,
+)
+
 
 def _exploded_gram_frame(
     df: DataFrame, text_col: str, ns: Sequence[int], n_buckets: int | None, keep=()
@@ -59,54 +64,42 @@ def _exploded_gram_frame(
     """-> (*keep, g: long), ONE ROW PER GRAM OCCURRENCE (multiplicity
     preserved — counts matter for the bag-of-grams model, unlike
     decontamination's distinct sets). Normalization matches the dedup/
-    decontaminate family: lower + whitespace-collapse, split on single
-    spaces (an empty text yields one empty-string unigram in both Spark
-    and the DuckDB oracle).
-
-    Plan shape matters here: the split is materialized by a projection
-    UNDER the explode's Generate node, and the gram transforms live in
-    the generator expression referencing that attribute. Slicing the
-    split EXPRESSION inside the lambda would re-run the regex split per
-    gram (higher-order functions don't eliminate common subexpressions
-    across the lambda boundary — O(words^2)/doc), and materializing it
-    in an adjacent PROJECTION instead gets undone by CollapseProject,
-    which inlines the alias right back into the lambda (measured 5x
-    worse). Generate does not collapse into its child projection, so
-    this shape keeps exactly one split per row."""
-    split_expr = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
-    words = F.col("_dsir_ws")
-    n = F.size(words)
+    decontaminate family (functions/grams.normalized_words — an empty
+    text yields one empty-string unigram in both Spark and the DuckDB
+    oracle); plan shape (split-under-Generate) is owned by
+    functions/grams.explode_grams."""
 
     def key_of(gram: F.Column) -> F.Column:
         h = F.xxhash64(gram)
         return h if n_buckets is None else F.pmod(h, F.lit(n_buckets))
 
-    def kgram_lambda(k: int):
-        # factory so each lambda closes over its own k; the lambda MUST
-        # stay single-parameter — pyspark's transform() binds a second
-        # parameter to the element INDEX, so `lambda i, k=k` would have
-        # the index silently overwrite the default. Hashing happens
-        # INSIDE this (only) lambda: nesting a transform's output inside
-        # another transform is the same single-level-lambda hazard.
-        return lambda i: key_of(F.concat_ws(" ", F.slice(words, i, k)))
+    def gram_arrays(words: F.Column) -> F.Column:
+        n = F.size(words)
 
-    per_n = []
-    for k in ns:
-        keys = (
-            F.transform(words, key_of)
-            if k == 1
-            else F.when(
-                n >= k,
-                F.transform(F.sequence(F.lit(1), n - k + 1), kgram_lambda(k)),
-            ).otherwise(F.array().cast("array<long>"))
-        )
-        per_n.append(keys)
-    grams = per_n[0] if len(per_n) == 1 else F.concat(*per_n)
-    return df.select(*keep, split_expr.alias("_dsir_ws")).select(
-        *keep, F.explode(grams).alias("g")
-    )
+        def kgram_lambda(k: int):
+            # factory so each lambda closes over its own k; the lambda
+            # MUST stay single-parameter — pyspark's transform() binds a
+            # second parameter to the element INDEX, so `lambda i, k=k`
+            # would have the index silently overwrite the default.
+            # Hashing happens INSIDE this (only) lambda: nesting a
+            # transform's output inside another transform is the same
+            # single-level-lambda hazard.
+            return lambda i: key_of(F.concat_ws(" ", F.slice(words, i, k)))
+
+        per_n = []
+        for k in ns:
+            keys = (
+                F.transform(words, key_of)
+                if k == 1
+                else F.when(
+                    n >= k,
+                    F.transform(F.sequence(F.lit(1), n - k + 1), kgram_lambda(k)),
+                ).otherwise(F.array().cast("array<long>"))
+            )
+            per_n.append(keys)
+        return per_n[0] if len(per_n) == 1 else F.concat(*per_n)
+
+    return explode_grams(df, normalized_words(text_col), gram_arrays, keep=keep)
 
 
 def _key_counts(df: DataFrame, text_col: str, ns, n_buckets) -> DataFrame:

@@ -209,9 +209,23 @@ def score_quality(
     gathers the broadcast weight vector at the row's indices — an
     Arrow-batched numpy fancy-index + segmented sum, no MLlib, no
     shuffle, composes with Observation-bearing sessions. Every input
-    column passes through untouched."""
+    column passes through untouched.
+
+    The weight broadcast is memoized ON the classifier (one per
+    classifier per SparkContext, refreshed if the context restarted):
+    scoring many frames in a loop must not accumulate ~2 MB broadcasts
+    for the session's lifetime, and dropping the classifier drops the
+    broadcast with it via Spark's ContextCleaner weak-ref tracking."""
     spark = df.sparkSession
-    bc_w = spark.sparkContext.broadcast(clf.weights)
+    sc = spark.sparkContext
+    cached = getattr(clf, "_bc_weights", None)
+    if cached is not None and cached[0] == sc.applicationId:
+        bc_w = cached[1]
+    else:
+        bc_w = sc.broadcast(clf.weights)
+        # frozen dataclass: the cache is deliberately not a field (it is
+        # session state, not model identity) so bypass the freeze
+        object.__setattr__(clf, "_bc_weights", (sc.applicationId, bc_w))
     b0 = clf.intercept
 
     @F.pandas_udf("double")

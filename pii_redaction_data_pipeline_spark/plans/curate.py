@@ -205,6 +205,14 @@ def run_curation(
 ) -> dict:
     """Run (or resume) the whole curation DAG. Returns a summary dict.
 
+    NOTE the cfg default differs from run_pipeline's: with cfg=None the
+    annotated table is written WITHOUT the raw ``text`` column
+    (retain_original_text=False — rationale inline below). Consumers
+    that need the audit column (e.g. plans/views.py redacted views over
+    this output) must pass an explicit cfg with
+    retain_original_text=True. The effective choice is echoed in the
+    returned summary under ``retain_original_text``.
+
     `fail_after_stage` injects a crash after the named stage completes
     (its lineage row IS written first) — the cross-stage analog of
     run_pipeline's fail_after_buckets, for the kill-and-resume test.
@@ -401,6 +409,9 @@ def run_curation(
         "stage_walls_sec": stage_walls,
         "stages_skipped": sorted(done),
         "paths": paths,
+        # surfaced because the cfg=None default here (False) differs from
+        # PipelineConfig's standalone default — see docstring
+        "retain_original_text": cfg.retain_original_text,
     }
     if not ran:
         summary["resumed"] = True

@@ -83,8 +83,12 @@ def rp(tag, force_reread):
     shutil.rmtree(f"{work}/rp-{tag}", ignore_errors=True)
     shutil.rmtree(f"{work}/rp-{tag}-lin", ignore_errors=True)
     prev = P.LINEAGE_OBS_MAX_EXPRS if hasattr(P, "LINEAGE_OBS_MAX_EXPRS") else None
-    if force_reread and prev is not None:
-        P.LINEAGE_OBS_MAX_EXPRS = 0
+    if prev is not None:
+        # force the arm under test: the default 16-bucket config emits
+        # 16*(2+8+6)=256 observe exprs, over the production budget (160),
+        # so WITHOUT raising the cap both arms would silently measure the
+        # re-read path and the A/B is meaningless.
+        P.LINEAGE_OBS_MAX_EXPRS = 0 if force_reread else 10**9
     try:
         P.run_pipeline(
             spark, path, f"{work}/rp-{tag}", f"{work}/rp-{tag}-lin",

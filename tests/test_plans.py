@@ -11,6 +11,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as E
 
 SF = "/root/testdata/sf0.001"
@@ -326,3 +328,48 @@ def test_llm_curation_composition_plan(spark):
     assert len(re.findall(r"Scan ExistingRDD", comp_p)) == 2, comp_p[:1200]
     # the keep-list semi-joins must not degrade any join to sort-merge
     assert comp_p.count("SortMergeJoin") == base_p.count("SortMergeJoin")
+
+
+def test_gram_family_plans_split_once(spark):
+    """functions/grams.explode_grams owns the gram family's one
+    load-bearing plan shape: the whitespace split is materialized by
+    the projection directly UNDER the explode's Generate node, and the
+    generator expression references it only as an attribute. A split
+    inlined into the generator re-runs the regex per gram
+    (O(words^2)/doc, measured 5-6x); an adjacent plain Project gets
+    collapsed back into the lambda by CollapseProject. This pins the
+    OPTIMIZED plan of all four consumers."""
+    from pii_redaction_data_pipeline_spark.operators.decontaminate import (
+        _exploded_gram_frame as dc_grams,
+    )
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        repeated_span_dedup,
+    )
+    from pii_redaction_data_pipeline_spark.operators.dsir import (
+        _exploded_gram_frame as dsir_grams,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    frames = {
+        "decontaminate": dc_grams(docs, "text", 8, keep=(F.col("doc_id"),), outer=True),
+        "dsir": dsir_grams(docs, "text", (1, 2), 10_000, keep=(F.col("doc_id"),)),
+        "ngram_jaccard": ngram_jaccard_pairs(docs, k=5),
+        "repeated_span": repeated_span_dedup(docs, k=8, min_docs=2),
+    }
+    for name, frame in frames.items():
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        split_lines = [ln for ln in plan.splitlines() if "split(" in ln]
+        # tree-prefix chars (":- ", "+- ") may precede the node name
+        gen_lines = [
+            ln for ln in plan.splitlines() if re.search(r"\bGenerate (pos)?explode", ln)
+        ]
+        assert gen_lines, f"{name}: no Generate node\n{plan[:800]}"
+        for ln in gen_lines:
+            assert "split(" not in ln, f"{name}: split inlined into the generator\n{ln}"
+        # every split must live in a Project materializing the words attr
+        # (repeated_span legitimately splits a second time for the rebuild
+        # projection; what is banned is a split inside ANY generator)
+        assert split_lines, f"{name}: no split materialized\n{plan[:800]}"
+        under_generate = [ln for ln in split_lines if "_gram_ws" in ln]
+        assert under_generate, f"{name}: split not under the Generate\n{plan[:1200]}"
