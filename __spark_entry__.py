@@ -2051,7 +2051,7 @@ def q_curate_full(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 50 entries: round 1 registered 56 but the driver's
+    """54 entries (history below). Round 1 registered 56 but the driver's
     correctness harness recorded 50 rows, leaving six queries unchecked.
     Six redundant entries were pruned (NOT deleted — the functions, their
     oracle SQL, and pytest coverage remain, see PRUNED_ORACLES and
