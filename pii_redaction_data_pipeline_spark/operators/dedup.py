@@ -290,6 +290,7 @@ def conversation_turn_shingles(
     text_col: str = "text",
     order_col: str = "turn_idx",
     k: int = 3,
+    fp_col: str | None = None,
 ) -> DataFrame:
     """(conv_id, n_turns, shingles: array<long>) — conversation identity
     at TURN granularity: fingerprint each turn (xxhash64 of its text),
@@ -314,11 +315,17 @@ def conversation_turn_shingles(
     drop to ~0. It is also ~100x cheaper: the groupBy collects 8-byte
     fingerprints instead of the conversation text, and every downstream
     op is a JVM array op on ~n_turns longs.
+
+    fp_col: name of a PRECOMPUTED per-turn fingerprint column (e.g. the
+    annotate stage's ``turn_fp`` = xxhash64 of the raw turn text,
+    plans/pipeline.py). When given, the text column is never read —
+    the caller can feed a column-pruned scan of (conv, order, fp),
+    which at corpus scale replaces a second full-text scan with a
+    ~16-byte-per-turn columnar read.
     """
+    fp = F.col(fp_col) if fp_col is not None else F.xxhash64(text_col)
     ordered = F.array_sort(
-        F.collect_list(
-            F.struct(F.col(order_col).alias("o"), F.xxhash64(text_col).alias("f"))
-        )
+        F.collect_list(F.struct(F.col(order_col).alias("o"), fp.alias("f")))
     )
     fps = F.transform(ordered, lambda s: s["f"])
     g = df.groupBy(F.col(conv_col).alias("conv_id")).agg(fps.alias("fps"))

@@ -102,6 +102,7 @@ def dedup_survivor_convs(
     jaccard_threshold: float = 0.6,
     est_margin: float | None = 0.2,
     checkpoint_dir: str | None = None,
+    fp_col: str | None = None,
 ) -> DataFrame:
     """Conversation-level near-dup dedup: -> (conv_id) survivors.
 
@@ -115,6 +116,12 @@ def dedup_survivor_convs(
 
     est_margin: the signature-estimate pre-filter margin (see
     minhash_lsh_pairs); pass None to exact-verify every band candidate.
+
+    fp_col: a precomputed per-turn fingerprint column on `transcripts`
+    (the annotate stage's ``turn_fp``). When given, the shingle pass
+    never touches the text column — run_curation feeds the annotated
+    table's (conv_id, turn_idx, turn_fp) so the dedup stage costs one
+    pruned columnar scan instead of a second full raw-text scan.
 
     checkpoint_dir: when given, the reused shingle/pair frames are
     persisted as parquet UNDER THIS DIRECTORY instead of via
@@ -162,7 +169,9 @@ def dedup_survivor_convs(
         return out
 
     sh = materialize(
-        conversation_turn_shingles(convs).repartition(n_parts, "conv_id"),
+        conversation_turn_shingles(convs, fp_col=fp_col).repartition(
+            n_parts, "conv_id"
+        ),
         "dedup_shingles",
         repartition_on="conv_id",
     )
@@ -356,18 +365,28 @@ def run_curation(
             .filter("conv_keep")
             .select("conv_id")
         )
-        # raw transcripts for the content identity (normalization-free:
-        # the same bytes a re-uploaded batch would carry); read through
-        # TableIO so an Iceberg input works here exactly as it does for
-        # the annotate stage (run_pipeline uses io.read on the same path)
-        from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+        # shingle off the annotate stage's persisted ``turn_fp``
+        # (xxhash64 of the RAW turn bytes — the same normalization-free
+        # identity the old path hashed from the source table, computed
+        # once during annotate's scan): the dedup stage becomes one
+        # column-pruned (conv_id, turn_idx, turn_fp) read of the
+        # annotated parquet instead of a SECOND full raw-text scan of
+        # the corpus — at 100 TB that deletes an entire text scan.
+        # Fallback for resumes over annotated tables written before
+        # turn_fp existed: re-read the source through TableIO as before.
+        if "turn_fp" in spark.read.parquet(paths["annotated"]).columns:
+            src, fp_col = annotated_scan("turn_idx", "turn_fp"), "turn_fp"
+        else:
+            from pii_redaction_data_pipeline_spark.sources.tables import TableIO
 
-        tr = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
+            src = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
+            fp_col = None
         surv = dedup_survivor_convs(
-            tr, kept, ccfg.dedup_jaccard, est_margin=ccfg.dedup_est_margin,
+            src, kept, ccfg.dedup_jaccard, est_margin=ccfg.dedup_est_margin,
             checkpoint_dir=(
                 f"{work}/dedup_ck" if ccfg.durable_dedup_checkpoints else None
             ),
+            fp_col=fp_col,
         )
         mark("conv_dedup", write_counted(surv, paths["survivor_convs"]))
         ran.append("conv_dedup")

@@ -134,6 +134,16 @@ def annotate(
     df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     text = F.col("text")
 
+    # raw-bytes turn identity, persisted into the annotated output so
+    # downstream conversation-level near-dup dedup (plans/curate.py
+    # stage 3) can shingle 8-byte fingerprints off a column-pruned scan
+    # of the annotated table instead of RE-READING the full raw text of
+    # the corpus — at 100 TB that deletes an entire second text scan.
+    # Hashed BEFORE normalization (the same bytes a re-uploaded batch
+    # would carry, modulo the NULL->'' coalesce above), so it equals
+    # what dedup previously computed from the source table.
+    df = df.withColumn("turn_fp", F.xxhash64(text))
+
     # --- two-phase partitioning (SURVEY.md §4 skew handling) ---
     # Phase 1 is ADAPTIVE: the per-row UDF stages need no conv_id
     # locality at all — they only need enough balanced input splits to
