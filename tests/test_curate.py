@@ -133,6 +133,30 @@ def test_reliable_checkpoint_dir_matches_local(spark, tinydup_path, tmp_path):
     assert spark.read.parquet(f"{ckdir}/dedup_pairs").count() > 0
 
 
+def test_dedup_fp_col_matches_text_path(spark, tinydup_path):
+    """The fp_col fast path (round 5: run_curation shingles off the
+    annotate stage's persisted turn_fp instead of re-scanning raw text)
+    must yield the exact survivor set of the text path — turn_fp is
+    xxhash64 of the NULL-coalesced raw turn text, the same value the
+    text path computes inside conversation_turn_shingles."""
+    from pii_redaction_data_pipeline_spark.plans.curate import (
+        dedup_survivor_convs,
+    )
+    from pii_redaction_data_pipeline_spark.sources.tables import TableIO
+
+    tr = TableIO(spark).read(tinydup_path).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    kept = tr.select("conv_id").distinct()
+    via_text = {r.conv_id for r in dedup_survivor_convs(tr, kept, 0.6).collect()}
+    fp = tr.select("conv_id", "turn_idx", F.xxhash64("text").alias("turn_fp"))
+    via_fp = {
+        r.conv_id
+        for r in dedup_survivor_convs(fp, kept, 0.6, fp_col="turn_fp").collect()
+    }
+    assert via_fp == via_text and len(via_text) > 0
+
+
 def test_est_margin_none_disables_prefilter(spark, tinydup_path):
     """est_margin must be a caller choice end-to-end (round-3 ADVICE):
     None routes every band candidate to the exact verify; on the planted
