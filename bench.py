@@ -126,7 +126,7 @@ def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
     import pyarrow.parquet as pq
 
     n_turns = pq.read_metadata(transcripts_path).num_rows
-    t0 = time.time()
+    t0 = time.monotonic()  # stage walls use monotonic too (curate.tick)
     # durable_dedup_checkpoints=False: the durable variant exists so a
     # REAL cluster survives executor loss mid-dedup (shared-storage
     # parquet spill); in this single-JVM microbenchmark the executor IS
@@ -137,7 +137,7 @@ def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
         spark, transcripts_path, out_dir, run_id="bench",
         ccfg=CurationConfig(pack_buckets=128, durable_dedup_checkpoints=False),
     )
-    wall = time.time() - t0
+    wall = time.monotonic() - t0
     stage_walls = summary.get("stage_walls_sec", {})
     stage_sum = round(sum(stage_walls.values()), 3)
     return {
@@ -145,12 +145,13 @@ def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
         "stage_walls_sec": stage_walls,
-        # composition cost of the DAG itself (lineage rows, resume
-        # checks, config plumbing) — wall minus the sum of the five
-        # stage walls. The DAG/pipeline wall RATIO swings with the
-        # hardware window (the pipeline is CPU-elastic, the extra
-        # stages are IO-heavier), so the fixed overhead is the honest
-        # composition metric.
+        # composition cost of the DAG itself — wall minus the sum of
+        # the five stage walls (resume-state reads, config plumbing,
+        # summary assembly; lineage appends land INSIDE stage walls
+        # because run_curation marks before it ticks). The DAG/pipeline
+        # wall RATIO swings with the hardware window (the pipeline is
+        # CPU-elastic, the extra stages are IO-heavier), so this fixed
+        # overhead is the honest composition metric.
         "stage_sum_sec": stage_sum,
         "orchestration_overhead_sec": round(wall - stage_sum, 3),
     }

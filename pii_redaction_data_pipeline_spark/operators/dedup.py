@@ -323,7 +323,16 @@ def conversation_turn_shingles(
     which at corpus scale replaces a second full-text scan with a
     ~16-byte-per-turn columnar read.
     """
-    fp = F.col(fp_col) if fp_col is not None else F.xxhash64(text_col)
+    # NULL text coalesces to '' before hashing — annotate's convention
+    # (plans/pipeline.py) — so the text path and a precomputed turn_fp
+    # (hashed from the coalesced text) yield identical fingerprints for
+    # NULL-text turns; without it xxhash64(NULL) would degenerate to the
+    # seed constant and the two paths would disagree on NULL turns.
+    fp = (
+        F.col(fp_col)
+        if fp_col is not None
+        else F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    )
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col(order_col).alias("o"), fp.alias("f")))
     )

@@ -203,6 +203,32 @@ def dedup_survivor_convs(
     return kept_convs.select("conv_id").join(dropped, "conv_id", "anti")
 
 
+def _dedup_fp_source(spark, annotated_path: str, run_id: str):
+    """The conv_dedup shingle source: the annotated table's pruned
+    (conv_id, turn_idx, turn_fp) scan — or None, telling the caller to
+    fall back to a raw-source re-read.
+
+    The guard is ROW-level, not schema-level: a per-bucket resume that
+    crossed the turn_fp upgrade (or a shared output dir holding an old
+    run) leaves a MIXED directory whose merged schema shows the column
+    while rows from pre-upgrade files read it as NULL — and xxhash64
+    skips NULL inputs, so all-NULL fingerprint sequences would collapse
+    every such conversation onto ONE shingle value and dedup them
+    against each other (silent mass data loss). The isNull probe is a
+    limit-1 job over the pruned fp column, so the check costs one
+    short metadata-ish scan."""
+    ann = spark.read.parquet(annotated_path)
+    if "turn_fp" not in ann.columns:
+        return None
+    fpdf = (
+        ann.filter(F.col("run_id") == run_id)
+        .select("conv_id", "turn_idx", "turn_fp")
+    )
+    if not fpdf.filter(F.col("turn_fp").isNull()).isEmpty():
+        return None
+    return fpdf
+
+
 def run_curation(
     spark: SparkSession,
     input_path: str,
@@ -374,13 +400,12 @@ def run_curation(
         # the corpus — at 100 TB that deletes an entire text scan.
         # Fallback for resumes over annotated tables written before
         # turn_fp existed: re-read the source through TableIO as before.
-        if "turn_fp" in spark.read.parquet(paths["annotated"]).columns:
-            src, fp_col = annotated_scan("turn_idx", "turn_fp"), "turn_fp"
-        else:
+        src = _dedup_fp_source(spark, paths["annotated"], run_id)
+        fp_col = "turn_fp" if src is not None else None
+        if src is None:
             from pii_redaction_data_pipeline_spark.sources.tables import TableIO
 
             src = TableIO(spark, n_buckets=cfg.n_buckets).read(input_path)
-            fp_col = None
         surv = dedup_survivor_convs(
             src, kept, ccfg.dedup_jaccard, est_margin=ccfg.dedup_est_margin,
             checkpoint_dir=(

@@ -136,25 +136,70 @@ def test_reliable_checkpoint_dir_matches_local(spark, tinydup_path, tmp_path):
 def test_dedup_fp_col_matches_text_path(spark, tinydup_path):
     """The fp_col fast path (round 5: run_curation shingles off the
     annotate stage's persisted turn_fp instead of re-scanning raw text)
-    must yield the exact survivor set of the text path — turn_fp is
-    xxhash64 of the NULL-coalesced raw turn text, the same value the
-    text path computes inside conversation_turn_shingles."""
+    must yield the exact survivor set of the text path — INCLUDING on
+    NULL-text turns, where both paths hash the coalesced '' (annotate's
+    NULL->'' convention); a NULL-turn conv and its ''-turn clone must
+    dedup against each other identically on either path."""
     from pii_redaction_data_pipeline_spark.plans.curate import (
         dedup_survivor_convs,
     )
     from pii_redaction_data_pipeline_spark.sources.tables import TableIO
 
-    tr = TableIO(spark).read(tinydup_path).withColumn(
-        "text", F.coalesce(F.col("text"), F.lit(""))
+    tr = TableIO(spark).read(tinydup_path).select("conv_id", "turn_idx", "text")
+    planted = spark.createDataFrame(
+        [(conv, i, t if i != 2 else hole)
+         for conv, hole in (("zz-null", None), ("zz-empty", ""))
+         for i, t in enumerate(["alpha beta", "gamma delta", "?", "epsilon zeta"])],
+        "conv_id string, turn_idx int, text string",
     )
+    tr = tr.unionByName(planted)
     kept = tr.select("conv_id").distinct()
     via_text = {r.conv_id for r in dedup_survivor_convs(tr, kept, 0.6).collect()}
-    fp = tr.select("conv_id", "turn_idx", F.xxhash64("text").alias("turn_fp"))
+    # exactly one of the planted pair survives the text path
+    assert len({"zz-null", "zz-empty"} & via_text) == 1
+    fp = tr.select(
+        "conv_id", "turn_idx",
+        F.xxhash64(F.coalesce("text", F.lit(""))).alias("turn_fp"),
+    )
     via_fp = {
         r.conv_id
         for r in dedup_survivor_convs(fp, kept, 0.6, fp_col="turn_fp").collect()
     }
     assert via_fp == via_text and len(via_text) > 0
+
+
+def test_fp_source_guard_is_row_level(spark, tmp_path):
+    """_dedup_fp_source must refuse the fast path when ANY row of the
+    run reads turn_fp as NULL (mixed pre/post-upgrade files), not just
+    when the merged schema lacks the column — NULL fps would collapse
+    every affected conversation onto one shingle value and mass-dedup
+    them (round-5 review finding)."""
+    from pii_redaction_data_pipeline_spark.plans.curate import _dedup_fp_source
+
+    schema = "run_id string, conv_id string, turn_idx int, turn_fp long"
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [("r", "c1", 0, 11), ("r", "c1", 1, 12)], schema
+    ).write.parquet(clean)
+    assert _dedup_fp_source(spark, clean, "r") is not None
+    # same run, one NULL fp row (as read from a pre-upgrade file)
+    mixed = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [("r", "c1", 0, 11), ("r", "c2", 0, None)], schema
+    ).write.parquet(mixed)
+    assert _dedup_fp_source(spark, mixed, "r") is None
+    # NULL fps confined to ANOTHER run must not disable this run's path
+    other = str(tmp_path / "other")
+    spark.createDataFrame(
+        [("r", "c1", 0, 11), ("old", "c9", 0, None)], schema
+    ).write.parquet(other)
+    assert _dedup_fp_source(spark, other, "r") is not None
+    # pre-upgrade schema (no column at all)
+    old = str(tmp_path / "old")
+    spark.createDataFrame(
+        [("r", "c1", 0)], "run_id string, conv_id string, turn_idx int"
+    ).write.parquet(old)
+    assert _dedup_fp_source(spark, old, "r") is None
 
 
 def test_est_margin_none_disables_prefilter(spark, tinydup_path):
