@@ -220,6 +220,14 @@ def train_char_trigram_lm(df, text_col: str = "text") -> CharTrigramLM:
     ' '-padded sequence (the scoring convention), so the result is
     partitioning- and order-independent.
     """
+    rows = _sparse_counts_df(df, text_col).collect()  # bounded: <= V^3 rows
+    return _lm_from_sparse_rows(rows)
+
+
+def _sparse_counts_df(df, text_col: str):
+    """The distributed trigram counting plan: mapInPandas dense-per-batch
+    -> nonzero cells -> map-side-combined groupBy. Shared by the plain
+    trainer and the artifact-persisting one."""
     from pyspark.sql import functions as SF
 
     def count_parts(batches):
@@ -231,16 +239,62 @@ def train_char_trigram_lm(df, text_col: str = "text") -> CharTrigramLM:
         nz = np.nonzero(tri)[0]
         yield pd.DataFrame({"idx": nz.astype(np.int64), "cnt": tri[nz].astype(np.int64)})
 
-    counts = (
+    return (
         df.select(text_col)
         .mapInPandas(count_parts, "idx long, cnt long")
         .groupBy("idx")
         .agg(SF.sum("cnt").alias("cnt"))
     )
+
+
+def _lm_from_sparse_rows(rows) -> CharTrigramLM:
+    """(idx, cnt) sparse cells -> fitted model; shared by the trainer
+    and the per-run artifact reload path."""
     tri = np.zeros(V * V * V, dtype=np.float64)
-    for row in counts.collect():  # bounded: <= V^3 rows
+    for row in rows:
         tri[row["idx"]] = row["cnt"]
     return CharTrigramLM.from_counts(tri.reshape(V, V, V))
+
+
+def load_or_train_char_trigram_lm(
+    spark, df, artifact_path: str, text_col: str = "text"
+) -> CharTrigramLM:
+    """train_char_trigram_lm with a per-run durable artifact: the fitted
+    SPARSE COUNT TABLE (<= V^3 rows, ~2 MB) persists at `artifact_path`
+    on first fit and reloads on every later call — so a crash-and-resume
+    of the same run_id scores every bucket against the byte-identical
+    model WITHOUT re-scanning the corpus (fitting on the full input on
+    every resume attempt is deterministic but pays a full text pass per
+    attempt; at the 100 TB design point that is the difference between
+    one training scan per run and one per failure).
+
+    The artifact is trusted only when Spark's _SUCCESS commit marker
+    exists — a partially-written directory from a crash mid-write is
+    retrained and overwritten. Counts are integers, so persist/reload
+    is exact (no float round-trip)."""
+    if _artifact_committed(spark, artifact_path):
+        return _lm_from_sparse_rows(spark.read.parquet(artifact_path).collect())
+    # one corpus scan: collect the bounded sparse cells, then write them
+    # back out from the driver (re-running the scan for the write would
+    # double the training cost the artifact exists to avoid)
+    model_rows = _sparse_counts_df(df, text_col).collect()
+    spark.createDataFrame(
+        [(int(r["idx"]), int(r["cnt"])) for r in model_rows], "idx long, cnt long"
+    ).coalesce(1).write.mode("overwrite").parquet(artifact_path)
+    return _lm_from_sparse_rows(model_rows)
+
+
+def _artifact_committed(spark, artifact_path: str) -> bool:
+    """True iff `artifact_path/_SUCCESS` exists — checked through the
+    Hadoop FileSystem API so the probe works on any storage the session
+    can write to (local, HDFS, object stores), not just the local FS."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(artifact_path + "/_SUCCESS")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+    except Exception:
+        return False
 
 
 def make_ppl_udf(spark=None, model: CharTrigramLM | None = None):

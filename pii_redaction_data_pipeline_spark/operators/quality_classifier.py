@@ -62,6 +62,7 @@ the same standing as the streaming surface (SURVEY.md §5).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -77,6 +78,11 @@ from pii_redaction_data_pipeline_spark.operators.sampling import (
 _WORDS = "_qc_words"
 _GRAMS = "_qc_grams"
 FEATURES_COL = "_qc_features"
+
+# guards score_quality's per-classifier broadcast memo: two concurrent
+# scoring calls over the same classifier must not both broadcast the
+# ~2 MB weight vector (the loser's handle would linger until GC)
+_BC_MEMO_LOCK = threading.Lock()
 
 
 def _gram_arrays(df: DataFrame, text_col: str, use_bigrams: bool) -> DataFrame:
@@ -145,7 +151,7 @@ def featurize(
     return df.withColumn(FEATURES_COL, _to_vec(F.col("_qc_idx"))).drop("_qc_idx")
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class QualityClassifier:
     """The extracted linear model WITH its featurization settings —
     scoring must hash grams exactly as training did, so the two travel
@@ -154,7 +160,12 @@ class QualityClassifier:
     intercept) instead of the MLlib model object keeps the artifact a
     plain broadcastable ndarray and keeps MLlib entirely out of the
     scoring path (see module docstring: model.transform is
-    session-composition-broken)."""
+    session-composition-broken).
+
+    eq=False: the generated __eq__/__hash__ would compare the ndarray
+    field (ValueError on truth-testing, TypeError on hashing); identity
+    semantics match the previous MLlib-model field and are what the
+    broadcast memoization keys on."""
 
     weights: object  # numpy.ndarray float64, dense, length n_features
     intercept: float
@@ -218,14 +229,18 @@ def score_quality(
     broadcast with it via Spark's ContextCleaner weak-ref tracking."""
     spark = df.sparkSession
     sc = spark.sparkContext
-    cached = getattr(clf, "_bc_weights", None)
-    if cached is not None and cached[0] == sc.applicationId:
-        bc_w = cached[1]
-    else:
-        bc_w = sc.broadcast(clf.weights)
-        # frozen dataclass: the cache is deliberately not a field (it is
-        # session state, not model identity) so bypass the freeze
-        object.__setattr__(clf, "_bc_weights", (sc.applicationId, bc_w))
+    # one lock for all classifiers: broadcasts are rare (once per
+    # classifier per context) so contention is nil, and a shared lock
+    # avoids growing per-instance state beyond the memo itself
+    with _BC_MEMO_LOCK:
+        cached = getattr(clf, "_bc_weights", None)
+        if cached is not None and cached[0] == sc.applicationId:
+            bc_w = cached[1]
+        else:
+            bc_w = sc.broadcast(clf.weights)
+            # frozen dataclass: the cache is deliberately not a field (it
+            # is session state, not model identity) so bypass the freeze
+            object.__setattr__(clf, "_bc_weights", (sc.applicationId, bc_w))
     b0 = clf.intercept
 
     @F.pandas_udf("double")

@@ -203,6 +203,39 @@ def dedup_survivor_convs(
     return kept_convs.select("conv_id").join(dropped, "conv_id", "anti")
 
 
+def _fp_nulls_per_footer_stats(annotated_path: str):
+    """Parquet-footer verdict on turn_fp NULLs across the WHOLE
+    directory: False = no row group anywhere holds a NULL turn_fp
+    (metadata-only proof, no data read), True = some row group does,
+    None = stats unavailable (column missing from some footer, stats
+    not written, or a non-local/unlistable path).
+
+    Iceberg note: at production scale the same answer comes from the
+    manifest's null_value_counts — also metadata-only; this is the
+    plain-parquet stand-in."""
+    try:
+        import pyarrow.dataset as pds
+
+        dataset = pds.dataset(annotated_path, format="parquet")
+        saw_any = False
+        for frag in dataset.get_fragments():
+            md = frag.metadata
+            names = md.schema.names  # leaf columns of THIS file's footer
+            if "turn_fp" not in names:
+                return None  # pre-upgrade file: its rows read as NULL
+            ci = names.index("turn_fp")
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(ci).statistics
+                if stats is None or not stats.has_null_count:
+                    return None
+                if stats.null_count > 0:
+                    return True
+            saw_any = True
+        return False if saw_any else None
+    except Exception:
+        return None
+
+
 def _dedup_fp_source(spark, annotated_path: str, run_id: str):
     """The conv_dedup shingle source: the annotated table's pruned
     (conv_id, turn_idx, turn_fp) scan — or None, telling the caller to
@@ -214,9 +247,16 @@ def _dedup_fp_source(spark, annotated_path: str, run_id: str):
     while rows from pre-upgrade files read it as NULL — and xxhash64
     skips NULL inputs, so all-NULL fingerprint sequences would collapse
     every such conversation onto ONE shingle value and dedup them
-    against each other (silent mass data loss). The isNull probe is a
-    limit-1 job over the pruned fp column, so the check costs one
-    short metadata-ish scan."""
+    against each other (silent mass data loss).
+
+    Cost: the healthy common case (every footer proves null_count == 0
+    for turn_fp) is decided from parquet metadata alone — no data pass.
+    Only when footer stats are inconclusive, or show NULLs that might
+    belong to ANOTHER run sharing the directory, does the row-level
+    Spark probe run — and that probe scans the pruned fp column of this
+    run, the honest price of proving the fast path safe on a mixed
+    directory (with Iceberg the null_value_counts manifest field makes
+    even that case metadata-only)."""
     ann = spark.read.parquet(annotated_path)
     if "turn_fp" not in ann.columns:
         return None
@@ -224,6 +264,11 @@ def _dedup_fp_source(spark, annotated_path: str, run_id: str):
         ann.filter(F.col("run_id") == run_id)
         .select("conv_id", "turn_idx", "turn_fp")
     )
+    footer = _fp_nulls_per_footer_stats(annotated_path)
+    if footer is False:
+        return fpdf  # metadata proof: zero NULL fps anywhere in the dir
+    # footer saw NULLs (possibly another run's files) or couldn't tell:
+    # decide at row level for THIS run's rows
     if not fpdf.filter(F.col("turn_fp").isNull()).isEmpty():
         return None
     return fpdf

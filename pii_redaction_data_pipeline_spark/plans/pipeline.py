@@ -23,6 +23,7 @@ Scale notes (the plan you'd want at 100 TB):
 
 from __future__ import annotations
 
+import posixpath
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,6 +85,7 @@ def annotate(
     spark: SparkSession | None = None,
     conv_partitioned: bool = False,
     ppl_train_df: DataFrame | None = None,
+    ppl_model=None,
 ) -> DataFrame:
     """transcripts -> annotated (adds lang, lang_conf, ppl, heuristic cols,
     keep, drop_reasons, scrubbed_text, scrub_counts).
@@ -102,8 +104,7 @@ def annotate(
     normalized-text hash. For resumed/incremental re-processing this
     removes the plan's only corpus-wide shuffle (pinned by
     tests/test_plans.py::test_bucketed_table_windows_need_no_exchange)."""
-    ppl_model = None
-    if cfg.train_ppl_on_corpus and spark is not None:
+    if cfg.train_ppl_on_corpus and spark is not None and ppl_model is None:
         # Fit the fluency model on THIS corpus (one extra column-pruned
         # counting pass, bounded sparse aggregation — see config flag
         # docstring). Trained on the raw text column: normalization only
@@ -114,12 +115,15 @@ def annotate(
             train_char_trigram_lm,
         )
 
-        # Fit on ppl_train_df when given — run_pipeline passes the FULL
-        # input (before the resume bucket filter) so every bucket of a
+        # Fit on ppl_train_df when given — the training frame must be
+        # the FULL input (never a resume remainder) so every bucket of a
         # run_id scores against the same model no matter where a prior
         # attempt died; fitting on the filtered remainder would make ppl,
         # the high_ppl gate, and keep/drop depend on resume state,
         # breaking the deterministic checkpoint/resume contract.
+        # run_pipeline goes one step further and passes a pre-fitted
+        # `ppl_model` (load_or_train_char_trigram_lm): the fitted counts
+        # persist as a per-run artifact so resumes skip this scan.
         ppl_model = train_char_trigram_lm(
             df if ppl_train_df is None else ppl_train_df, "text"
         )
@@ -436,10 +440,24 @@ def run_pipeline(
     # one Spark job over all remaining buckets (bucket pruning via filter
     # — with Iceberg this is partition pruning on the metadata scan)
     part = src.filter(F.col(BUCKET_COL).isin(todo))
-    # ppl_train_df=src: the fluency model (when cfg.train_ppl_on_corpus)
-    # is fit on the FULL input, not the resume remainder — resume must
-    # score against the same model the first attempt did
-    ann = annotate(part, cfg, spark, ppl_train_df=src)
+    # The fluency model (when cfg.train_ppl_on_corpus) is fit on the
+    # FULL input, not the resume remainder — resume must score against
+    # the same model the first attempt did — and the fitted sparse count
+    # table persists under the output dir keyed by run_id, so a RESUME
+    # reloads ~2 MB of metadata instead of re-scanning the corpus to
+    # refit the identical model (determinism at artifact altitude, not
+    # recompute altitude). The leading '_' keeps the artifact dir
+    # invisible to parquet reads of the annotated table.
+    ppl_model = None
+    if cfg.train_ppl_on_corpus:
+        from pii_redaction_data_pipeline_spark.functions.perplexity import (
+            load_or_train_char_trigram_lm,
+        )
+
+        ppl_model = load_or_train_char_trigram_lm(
+            spark, src, posixpath.join(output_path, "_ppl_model", run_id)
+        )
+    ann = annotate(part, cfg, spark, ppl_model=ppl_model)
     # stamp provenance into the rows: a reused output path can hold other
     # runs' rows in buckets this run never overwrites (dynamic overwrite
     # only replaces buckets it writes to), so lineage and reports must

@@ -96,11 +96,16 @@ def curate_training_corpus(
     out = sel.drop("selected").join(
         corpus.select(id_col, text_col), id_col
     )
-    if classifier is None and quality_positives is not None:
-        if quality_negatives is None:
+    if classifier is None and (
+        quality_positives is not None or quality_negatives is not None
+    ):
+        # symmetric validation: EITHER sample alone is a misconfiguration
+        # (silently skipping the gate when only negatives arrive would
+        # return an ungated corpus the caller believes quality-filtered)
+        if quality_positives is None or quality_negatives is None:
             raise ValueError(
-                "quality_positives requires quality_negatives (the "
-                "CCNet/GPT-3 recipe trains curated-vs-random)"
+                "quality_positives and quality_negatives must be passed "
+                "together (the CCNet/GPT-3 recipe trains curated-vs-random)"
             )
         classifier = train_quality_classifier(
             quality_positives, quality_negatives, text_col=text_col

@@ -202,6 +202,39 @@ def test_fp_source_guard_is_row_level(spark, tmp_path):
     assert _dedup_fp_source(spark, old, "r") is None
 
 
+def test_fp_footer_stats_decide_clean_case_from_metadata(spark, tmp_path):
+    """_fp_nulls_per_footer_stats answers the healthy case from parquet
+    footers alone: False on an all-non-null directory (no data pass
+    needed — the scale-relevant path), True when any row group holds a
+    NULL turn_fp, None when a file predates the column (its rows read
+    as NULL, so footers cannot vouch for it)."""
+    from pii_redaction_data_pipeline_spark.plans.curate import (
+        _fp_nulls_per_footer_stats,
+    )
+
+    schema = "run_id string, conv_id string, turn_idx int, turn_fp long"
+    clean = str(tmp_path / "fclean")
+    spark.createDataFrame(
+        [("r", "c1", 0, 11), ("r", "c2", 0, 12)], schema
+    ).repartition(2).write.parquet(clean)
+    assert _fp_nulls_per_footer_stats(clean) is False
+    withnull = str(tmp_path / "fnull")
+    spark.createDataFrame(
+        [("r", "c1", 0, 11), ("old", "c9", 0, None)], schema
+    ).write.parquet(withnull)
+    assert _fp_nulls_per_footer_stats(withnull) is True
+    # a directory mixing a pre-upgrade file (no turn_fp column) in
+    old = str(tmp_path / "fmixed")
+    spark.createDataFrame(
+        [("r", "c1", 0, 11)], schema
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [("r", "c0", 0)], "run_id string, conv_id string, turn_idx int"
+    ).write.mode("append").parquet(old)
+    assert _fp_nulls_per_footer_stats(old) is None
+    assert _fp_nulls_per_footer_stats(str(tmp_path / "nowhere")) is None
+
+
 def test_est_margin_none_disables_prefilter(spark, tinydup_path):
     """est_margin must be a caller choice end-to-end (round-3 ADVICE):
     None routes every band candidate to the exact verify; on the planted

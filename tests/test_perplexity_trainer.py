@@ -167,3 +167,75 @@ def test_corpus_trained_model_prefers_its_register(spark):
     assert (trained < gib.iloc[0]).all(), (trained.tolist(), gib.tolist())
     base = default_model().ppl_series(s)
     assert (trained <= base * 1.05).all(), (trained.tolist(), base.tolist())
+
+
+def test_artifact_persist_and_reload(spark, tmp_path):
+    """load_or_train_char_trigram_lm: first call fits and commits the
+    sparse count table; a second call reloads it bit-identically WITHOUT
+    touching the training frame (resume must not re-scan the corpus —
+    round-5 review finding); a partial (no _SUCCESS) directory retrains."""
+    from pii_redaction_data_pipeline_spark.functions.perplexity import (
+        load_or_train_char_trigram_lm,
+    )
+
+    df = spark.createDataFrame([(t,) for t in TEXTS if t], "text string")
+    art = str(tmp_path / "ppl" / "run-a")
+    lm1 = load_or_train_char_trigram_lm(spark, df, art)
+    assert np.array_equal(lm1.logp, train_char_trigram_lm(df).logp)
+    import os
+
+    assert os.path.exists(os.path.join(art, "_SUCCESS"))
+
+    # reload path: pass a POISONED frame — any scan of it would throw,
+    # so equality proves the counts came from the artifact alone
+    poisoned = spark.range(1).selectExpr(
+        "cast(raise_error('artifact reload must not scan the corpus') as string)"
+        " as text"
+    )
+    lm2 = load_or_train_char_trigram_lm(spark, poisoned, art)
+    assert np.array_equal(lm1.logp, lm2.logp)
+
+    # partial write (no _SUCCESS): must retrain, not trust the directory
+    os.remove(os.path.join(art, "_SUCCESS"))
+    lm3 = load_or_train_char_trigram_lm(spark, df, art)
+    assert np.array_equal(lm1.logp, lm3.logp)
+    assert os.path.exists(os.path.join(art, "_SUCCESS"))
+
+
+def test_run_pipeline_persists_ppl_artifact_for_resume(spark, tiny, tmp_path):
+    """run_pipeline with train_ppl_on_corpus commits the model artifact
+    under the output dir keyed by run_id, the annotated parquet read is
+    unaffected by the underscore-prefixed dir, and a crash-and-resume
+    reproduces the first attempt's ppl values exactly (same model, now
+    loaded from the artifact instead of refit)."""
+    import dataclasses
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pii_redaction_data_pipeline_spark.config import PipelineConfig
+    from pii_redaction_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    cfg = dataclasses.replace(PipelineConfig(), train_ppl_on_corpus=True)
+    out = str(tmp_path / "ann")
+    lin = str(tmp_path / "lin")
+    try:
+        run_pipeline(
+            spark, tiny[0], out, lin, run_id="rp", cfg=cfg, fail_after_buckets=3
+        )
+        raise AssertionError("expected injected failure")
+    except RuntimeError:
+        pass
+    assert os.path.exists(os.path.join(out, "_ppl_model", "rp", "_SUCCESS"))
+    r = run_pipeline(spark, tiny[0], out, lin, run_id="rp", cfg=cfg)
+    assert r["resumed"] is True
+
+    # full single-shot run on a fresh dir == the crash-resume run, ppl included
+    out2, lin2 = str(tmp_path / "ann2"), str(tmp_path / "lin2")
+    run_pipeline(spark, tiny[0], out2, lin2, run_id="rp", cfg=cfg)
+    a = spark.read.parquet(out).select("conv_id", "turn_idx", "ppl")
+    b = spark.read.parquet(out2).select(
+        "conv_id", "turn_idx", F.col("ppl").alias("ppl2")
+    )
+    j = a.join(b, ["conv_id", "turn_idx"], "full")
+    assert j.filter(~F.col("ppl").eqNullSafe(F.col("ppl2"))).count() == 0

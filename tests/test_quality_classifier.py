@@ -169,3 +169,19 @@ def test_score_composes_with_pipeline_observation(
     rows = score_quality(df, model).collect()
     assert len(rows) == 10
     assert all(0.0 <= r.q_score <= 1.0 for r in rows)
+
+
+def test_classifier_eq_and_hash_are_identity(model_and_holdout):
+    """QualityClassifier holds an ndarray field, so the dataclass must
+    opt out of generated __eq__/__hash__ (eq=False): comparing two
+    classifiers would raise ValueError (ambiguous array truth) and
+    hashing would raise TypeError — both worked under the previous
+    MLlib-model field's identity semantics (round-5 review finding)."""
+    import dataclasses
+
+    model, _, _ = model_and_holdout
+    clone = dataclasses.replace(model)
+    assert model == model
+    assert model != clone  # identity, not value, like any model handle
+    assert isinstance(hash(model), int)
+    assert len({model, clone}) == 2

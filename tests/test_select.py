@@ -102,3 +102,14 @@ def test_positives_without_negatives_rejected(spark, parts):
         curate_training_corpus(
             docs, bench, target, k_top=5, quality_positives=docs.select("text")
         )
+
+
+def test_negatives_without_positives_rejected(spark, parts):
+    """Symmetric validation: negatives alone must raise too — silently
+    skipping the gate would return an ungated corpus the caller believes
+    quality-filtered (round-5 review finding)."""
+    docs, bench, target, _ = parts
+    with pytest.raises(ValueError, match="quality_positives"):
+        curate_training_corpus(
+            docs, bench, target, k_top=5, quality_negatives=docs.select("text")
+        )
