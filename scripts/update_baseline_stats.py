@@ -74,7 +74,8 @@ def main():
             f" {p['turns'] / 1e6:.1f}M-turn `{label}` table —"
             f" walls {p.get('runs_wall_sec')} s\n"
             f"  (best {p.get('best_turns_per_sec', 0):,.0f} turns/sec),"
-            f" regenerated {time.strftime('%Y-%m-%d %H:%M')}."
+            f" measured {bench.get('measured_at') or time.strftime('%Y-%m-%d %H:%M')}"
+            f" (block regenerated {time.strftime('%Y-%m-%d %H:%M')})."
             + (
                 f"\n  Same-moment hardware control {ctrl} work-units/sec —"
                 f" this VM's deliverable\n  parallelism oscillates up to 6x on"
