@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _content_fp(col):
+    """functions/text_stats.content_fingerprint, imported lazily (the
+    driver loads this file by path; package imports resolve only once a
+    query callable runs with the repo root importable, like every other
+    package import in this module)."""
+    from pii_redaction_data_pipeline_spark.functions.text_stats import (
+        content_fingerprint,
+    )
+
+    return content_fingerprint(col)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -629,7 +641,7 @@ def q_token_count(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.trim(t), "\\s+")).cast("long").alias("ws_tokens"),
         F.regexp_count(t, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").alias("bpe_tokens"),
-        F.md5(F.lower(F.trim(F.regexp_replace(t, "\\s+", " ")))).alias("fp"),
+        _content_fp(t).alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -638,7 +650,7 @@ def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))).alias("fp"),
+        _content_fp(F.col("text")).alias("fp"),
     ).orderBy("doc_id")
 
 

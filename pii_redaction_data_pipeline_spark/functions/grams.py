@@ -39,12 +39,16 @@ def normalized_words(text_col: str) -> Column:
     """lower + whitespace-collapse + trim, split on single spaces — the
     shared normalization of the decontaminate/DSIR/jaccard gram family
     (an empty text yields one empty-string word, matching the DuckDB
-    oracles). repeated_span_dedup deliberately does NOT use this: its
-    passthrough contract is byte identity, so it splits on raw ``\\s+``
-    without case folding."""
-    return F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
+    oracles). NULL text coalesces to '' FIRST — split(NULL) is NULL,
+    NULL gram arrays explode to zero rows, and the document would
+    silently vanish from every downstream frame (DSIR's 'one row per
+    corpus document' contract breaks with no error); the pipeline's
+    NULL->'' convention (plans/pipeline.py annotate) applies here too.
+    repeated_span_dedup deliberately does NOT use this: its passthrough
+    contract is byte identity, so it splits on raw ``\\s+`` without
+    case folding (and coalesces NULL itself)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
 
 
 def explode_grams(

@@ -37,6 +37,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral_ids(df: DataFrame, cols, where: str) -> None:
+    """Reject non-integral id columns LOUDLY. cast('long') on a string
+    id (e.g. a UUID) yields NULL for every row, the u != v filter then
+    drops every edge, and dedup_representatives' `is_rep` evaluates to
+    NULL — so the documented downstream `.filter('is_rep')` would
+    silently return an EMPTY corpus. Callers with string ids map them to
+    numerics first (the plans/curate.py pattern: xxhash64 the string,
+    pick representatives hash-independently afterwards)."""
+    types = dict(df.dtypes)
+    bad = [c for c in cols if types.get(c) not in _INTEGRAL_TYPES]
+    if bad:
+        raise ValueError(
+            f"{where} needs integral id columns; got "
+            f"{[(c, types.get(c)) for c in bad]} — hash string ids to "
+            "long first (see plans/curate.py dedup_survivor_convs)"
+        )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) symmetric edge set -> for each u, link every neighbor v>u
     to m = min(N(u) ∪ {u})."""
@@ -116,6 +137,7 @@ def connected_components(
     in O(log^2 n), and hitting the bound raises rather than returning a
     half-contracted graph.
     """
+    _require_integral_ids(pairs, (src, dst), "connected_components")
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -189,6 +211,7 @@ def dedup_representatives(
     the corpus) component map broadcasts when it fits; the docs table is
     never shuffled.
     """
+    _require_integral_ids(docs, (id_col,), "dedup_representatives")
     comp = connected_components(pairs, src=src, dst=dst)
     out = docs.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"

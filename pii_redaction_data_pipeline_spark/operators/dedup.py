@@ -29,14 +29,19 @@ from pii_redaction_data_pipeline_spark.functions.grams import (
     explode_grams,
     normalized_words,
 )
+from pii_redaction_data_pipeline_spark.functions.text_stats import (
+    content_fingerprint,
+)
 
 # --- exact dedup -----------------------------------------------------------
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adds fingerprint + is_dup_exact (true for every row after the
-    lowest-id keeper of an identical normalized text)."""
-    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    lowest-id keeper of an identical normalized text). The fingerprint
+    definition is owned by functions/text_stats.content_fingerprint —
+    one normalization, one place to change it."""
+    fp = content_fingerprint(F.col(text_col))
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return (
         df.withColumn("fingerprint", fp)
@@ -148,7 +153,18 @@ def _band_candidates(with_sig: DataFrame, n_hashes: int, bands: int) -> DataFram
 
     The band join carries ONLY (band, band_hash, id) — never the text or
     the signature — so the bands-x explode shuffles ~24 bytes/row
-    instead of the corpus."""
+    instead of the corpus.
+
+    The guard lives HERE (not in any one caller) because every banding
+    entry point shares the failure mode: bands > n_hashes makes every
+    band an EMPTY signature slice — one global bucket, an all-pairs
+    self-join; a non-dividing bands silently ignores n_hashes % bands
+    signature components (a recall change)."""
+    if not 1 <= bands <= n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands must divide n_hashes, 1 <= bands <= n_hashes; got "
+            f"bands={bands}, n_hashes={n_hashes}"
+        )
     rows = n_hashes // bands
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = with_sig.select("id", "sig", band_idx).withColumn(
@@ -207,9 +223,30 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 1234,
     est_margin: float | None = None,
+    persist_signatures: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, verified with
     exact shingle jaccard. Returns (id_a, id_b, jaccard) with id_a<id_b.
+
+    persist_signatures: the (id, sig) frame is referenced from up to
+    FOUR subplans (band-join lhs/rhs, estimate-filter sig_a/sig_b);
+    without a persist each branch re-runs the minhash pandas UDF — the
+    most expensive stage — over the full corpus text. The default
+    persists the ~8xn_hashes B/doc signatures MEMORY_AND_DISK, eagerly
+    materializes the (output-bounded) verified pairs via
+    localCheckpoint, then unpersists — the simhash_pairs contract
+    (checkpoint blocks are reclaimed by the ContextCleaner when the
+    caller drops the frame). Pass False for a fully lazy plan. Note the
+    default EAGERLY runs the pair job at call time.
+
+    checkpoint_dir: localCheckpoint blocks live on executor-local disk —
+    lose an executor before the caller consumes the pairs and the
+    lineage-truncated frame is unrecoverable (the dedup_survivor_convs
+    caveat, plans/curate.py). A multi-executor production run passes a
+    shared-storage directory instead: the pairs spill to parquet there
+    and the returned frame reads back from it, surviving executor loss
+    for one write+read of the (output-bounded) pair list.
 
     est_margin (OPT-IN — the default None keeps the original contract:
     every band-join candidate is exact-verified) adds a SIGNATURE-
@@ -230,21 +267,36 @@ def minhash_lsh_pairs(
     automatically (estimate >= 0 always)."""
     sig = make_minhash_udf(n_hashes, shingle_k, seed)
     with_sig = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
-    cand = _band_candidates(with_sig, n_hashes, bands)
-    est_threshold = jaccard_threshold - (est_margin if est_margin is not None else 1.0)
-    if est_threshold > 0:
-        cand = _estimate_filter(cand, with_sig, n_hashes, est_threshold)
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-    cand = (
-        cand.join(texts.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a")), "id_a")
-        .join(texts.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b")), "id_b")
-    )
-    jac = make_jaccard_udf(shingle_k)
-    return (
-        cand.withColumn("jaccard", jac(F.col("txt_a"), F.col("txt_b")))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    if persist_signatures:
+        with_sig = with_sig.persist()
+    try:
+        cand = _band_candidates(with_sig, n_hashes, bands)
+        est_threshold = jaccard_threshold - (
+            est_margin if est_margin is not None else 1.0
+        )
+        if est_threshold > 0:
+            cand = _estimate_filter(cand, with_sig, n_hashes, est_threshold)
+        texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        cand = (
+            cand.join(texts.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a")), "id_a")
+            .join(texts.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b")), "id_b")
+        )
+        jac = make_jaccard_udf(shingle_k)
+        pairs = (
+            cand.withColumn("jaccard", jac(F.col("txt_a"), F.col("txt_b")))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir.rstrip('/')}/minhash_pairs"
+            pairs.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        if persist_signatures:
+            return pairs.localCheckpoint(eager=True)
+        return pairs
+    finally:
+        if persist_signatures:
+            with_sig.unpersist()
 
 
 def make_jaccard_udf(shingle_k: int = 3):
@@ -692,7 +744,12 @@ def ngram_jaccard_pairs(
         df, normalized_words(text_col), shingles, keep=(F.col(id_col).alias("id"),)
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    joinable = sh
+    # the EMPTY shingle ('' — a NULL or empty/whitespace-only doc) is
+    # excluded from pair generation unconditionally, like a hot shingle:
+    # n empty docs would otherwise form an n^2 jaccard-1.0 clique, and
+    # identical-empty docs are exact_dedup's job, not a similarity
+    # truth set's. Set sizes keep the shingle, consistent with df_cap.
+    joinable = sh.filter(F.col("g") != "")
     if df_cap is not None:
         hot = (
             sh.groupBy("g")
@@ -701,7 +758,7 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         # broadcast anti-join: the hot-shingle list is tiny by definition
-        joinable = sh.join(F.broadcast(hot), "g", "left_anti")
+        joinable = joinable.join(F.broadcast(hot), "g", "left_anti")
     pairs = (
         joinable.alias("x")
         .join(joinable.alias("y"), "g")

@@ -98,9 +98,12 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             meta = pd.DataFrame(
                 metas, columns=["n_bytes", "sha256_prefix", "width", "height", "codec"]
             )
-            yield pd.concat(
-                [pdf[[id_col]].reset_index(drop=True), meta], axis=1
-            )
+            # Arrow assigns output columns BY NAME: the schema says
+            # doc_id, so a caller's id column must be relabeled or every
+            # task would crash on the name mismatch
+            ids = pdf[[id_col]].reset_index(drop=True)
+            ids.columns = ["doc_id"]
+            yield pd.concat([ids, meta], axis=1)
 
     return df.select(id_col, "media").mapInPandas(op, schema=MEDIA_META_SCHEMA)
 

@@ -85,7 +85,13 @@ def with_pack_placement(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = df.withColumn("bucket", bucket_col(F.col(id_col), n_buckets, portable))
-    out = out.withColumn("n_tokens", bpe_token_count(F.col(text_col)))
+    # NULL text counts like '' (0 pre-tokens + the EOS marker): the
+    # materializer tokenizes NULL as [EOS_MARK], and a NULL n_tokens
+    # would fall OUT of the window cumsum (sum skips NULLs), shifting
+    # every later doc's offsets off the materialized stream by one
+    out = out.withColumn(
+        "n_tokens", bpe_token_count(F.coalesce(F.col(text_col), F.lit("")))
+    )
     cum_end = F.sum(F.col("n_tokens") + EOS_TOKENS).over(w)
     # integer DIV, not floor(float/): float64 division loses exactness
     # above 2^53 token offsets, and the SQL replay uses // throughout

@@ -42,10 +42,17 @@ def rate_threshold(rate: float) -> str:
     """The 8-hex-char threshold string for a keep rate in [0, 1]."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    if rate == 1.0:
-        # 'g' sorts above every hex digit -> keeps all rows
+    v = int(rate * _HEX_SPAN)
+    if v >= _HEX_SPAN:
+        # rate == 1.0 ('g' sorts above every hex digit -> keeps all).
+        # v > SPAN-1 for rate < 1 is unreachable TODAY — multiplying by
+        # a power of two is exact, so int() truncates to <= SPAN-1 —
+        # but the clamp guards the lexicographic comparison anyway: a
+        # 9-char threshold like '100000000' would sort BELOW most
+        # 8-char prefixes and silently keep ~1/16 of rows if _HEX_SPAN
+        # ever stopped being a power of two.
         return "g" * 8
-    return format(int(rate * _HEX_SPAN), "08x")
+    return format(v, "08x")
 
 
 def sample_bucket_col(key_cols: Sequence[str], seed: int = 0) -> Column:

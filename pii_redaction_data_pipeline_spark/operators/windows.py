@@ -46,11 +46,15 @@ def with_conversation_flags(
     # duplicate turn: same text-hash seen earlier in the conversation.
     # Tool turns are excluded — repeated tool output is the tool_loop
     # rule's job, and a tool result legitimately repeats verbatim.
+    # eqNullSafe keeps the flag TOTAL: a NULL role is not 'tool', but
+    # role != 'tool' would be NULL under three-valued logic, and the
+    # pipeline's drop gate treats a NULL flag as not-dropped — repeated
+    # NULL-role turns would silently pass the duplicate filter.
     dup_rank = F.row_number().over(
         Window.partitionBy("conv_id", h).orderBy("turn_idx")
     )
     df = df.withColumn("_text_hash", h).withColumn(
-        "is_duplicate_turn", (dup_rank > 1) & (F.col("role") != "tool")
+        "is_duplicate_turn", (dup_rank > 1) & ~F.col("role").eqNullSafe("tool")
     )
 
     # tool loop: consecutive-run grouping via the rownum-difference trick.

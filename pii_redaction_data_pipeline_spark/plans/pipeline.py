@@ -177,8 +177,11 @@ def annotate(
                 salted_repartition,
             )
 
+            # (conv_id, turn_idx) is the per-row discriminator: hashing
+            # it salts deterministically without touching the text bytes
             df = salted_repartition(
-                df, salt_buckets=cfg.salt_buckets, num_partitions=n_parts
+                df, salt_buckets=cfg.salt_buckets, num_partitions=n_parts,
+                salt_cols=["conv_id", "turn_idx"],
             )
 
     if conv_partitioned:

@@ -158,3 +158,26 @@ def test_distributed_path_on_deep_graph_matches_union_find(spark):
     assert d == f
     # chain collapses to min id 0; cliques/pairs to their minima
     assert d[4096] == 0 and d[10_011] == 10_000 and d[30_001] == 30_000
+
+
+def test_non_integral_ids_rejected(spark):
+    """String ids (e.g. UUIDs) must raise, not silently cast to NULL —
+    cast('long') on every row would drop all edges and .filter('is_rep')
+    would return an EMPTY corpus (round-5 review finding). Callers map
+    string ids to numerics first (plans/curate.py pattern)."""
+    import pytest
+
+    from pii_redaction_data_pipeline_spark.operators.components import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a-1", "a-2")], "id_a string, id_b string"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        connected_components(pairs)
+    docs = spark.createDataFrame([("a-1", "t")], "doc_id string, text string")
+    npairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="integral id"):
+        dedup_representatives(docs, npairs)

@@ -620,3 +620,87 @@ def test_null_text_coerces_to_empty_in_span_and_line_dedup(spark):
     line = {r["doc_id"]: r for r in corpus_line_dedup(df, min_docs=2).collect()}
     assert line[1]["text_clean"] == ""
     assert (line[1]["n_lines"], line[1]["n_kept"]) == (1, 1)
+
+
+def test_minhash_bands_must_divide_n_hashes(spark):
+    """bands > n_hashes would band over EMPTY signature slices (one
+    global bucket -> all-pairs join); a non-dividing bands silently
+    drops signature components. Both now raise (round-5 review)."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in ({"n_hashes": 16, "bands": 32}, {"n_hashes": 16, "bands": 5}):
+        with pytest.raises(ValueError, match="bands"):
+            minhash_lsh_pairs(df, **bad)
+
+
+def test_minhash_persist_matches_lazy_path(spark):
+    """persist_signatures=True (the new default: one signature-UDF pass,
+    eager output) must return exactly the lazy plan's pairs."""
+    docs = _docs_df(spark)
+    eager = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()
+    }
+    lazy = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.4, persist_signatures=False
+        ).collect()
+    }
+    assert eager == lazy and len(eager) > 0
+
+
+def test_band_guard_covers_conversation_path(spark):
+    """The bands guard lives in _band_candidates, so the conversation
+    near-dup entry point rejects a degenerate banding too (empty
+    signature slices -> one global bucket -> all-pairs join)."""
+    from pii_redaction_data_pipeline_spark.operators.dedup import (
+        conversation_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, "b")],
+        "conv_id string, turn_idx int, text string",
+    )
+    with pytest.raises(ValueError, match="bands"):
+        conversation_neardup_pairs(df, n_hashes=64, bands=128).collect()
+
+
+def test_minhash_checkpoint_dir_durable_path(spark, tmp_path):
+    """checkpoint_dir spills the verified pairs to shared-storage
+    parquet (executor-loss-safe) and returns the identical pair set."""
+    import os
+
+    docs = _docs_df(spark)
+    cp = str(tmp_path / "mh")
+    durable = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.4, checkpoint_dir=cp
+        ).collect()
+    }
+    local = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()
+    }
+    assert durable == local and len(durable) > 0
+    assert os.path.exists(os.path.join(cp, "minhash_pairs", "_SUCCESS"))
+
+
+def test_ngram_jaccard_empty_docs_form_no_pairs(spark):
+    """NULL / empty / whitespace-only docs share the '' shingle; they
+    must NOT pair up as jaccard-1.0 near-dups (n^2 clique) — identical
+    empties are exact_dedup's job. Non-empty pairs are unaffected."""
+    docs = _docs_df(spark)
+    planted = spark.createDataFrame(
+        pd.DataFrame(
+            [(100, None), (101, ""), (102, "   "), (103, None)],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs.unionByName(planted), threshold=0.5
+        ).collect()
+    }
+    assert got == {(0, 1), (2, 3)}

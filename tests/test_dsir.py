@@ -187,3 +187,18 @@ class TestBucketedScalePath:
 
         for m in re.finditer(r"Exchange [^\n]*", plan):
             assert "text" not in m.group(0), m.group(0)
+
+
+def test_null_text_doc_keeps_its_row(spark):
+    """A NULL-text corpus doc must appear in dsir output like an
+    empty-string doc (one ''-unigram), not vanish from the frame
+    (round-5 review finding: split(NULL) explodes to zero rows)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(10, "alpha beta")], "doc_id long, text string")
+    out = dsir_select(corpus, target, k_top=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].n_grams == rows[3].n_grams and rows[2].weight == rows[3].weight

@@ -721,3 +721,19 @@ class TestGopherRepetitionPanel:
             .toString()
         )
         assert plan.count("ArrowEvalPython") == 1, plan[:1500]
+
+
+def test_decode_image_meta_custom_id_col(spark):
+    """Arrow assigns mapInPandas output columns BY NAME; a caller's
+    non-default id_col must be relabeled to the schema's doc_id or every
+    task crashes on the name mismatch (round-5 review finding)."""
+    from pii_redaction_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"\x89PNG\r\n\x1a\nnot-really"))],
+        "image_id long, media binary",
+    )
+    rows = decode_image_meta(df, id_col="image_id").collect()
+    assert len(rows) == 1 and rows[0].doc_id == 7 and rows[0].n_bytes == 18

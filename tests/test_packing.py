@@ -125,3 +125,35 @@ def test_bucket_count_validation(spark):
         with_pack_placement(df, 8, n_buckets=65537).collect()
     with pytest.raises(ValueError):
         with_pack_placement(df, 8, n_buckets=0).collect()
+
+
+def test_null_text_placement_matches_materializer(spark):
+    """A NULL-text doc must count like '' (0 pre-tokens + EOS): the
+    materializer tokenizes NULL as [EOS_MARK], and before the round-5
+    fix the NULL n_tokens fell out of the window cumsum, shifting every
+    later doc's offsets off the packed stream by one."""
+    from pii_redaction_data_pipeline_spark.operators.packing import (
+        EOS_MARK,
+        pack_sequences,
+        with_pack_placement,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "gamma delta eps")],
+        "doc_id long, text string",
+    )
+    placed = {
+        r.doc_id: r
+        for r in with_pack_placement(df, seq_tokens=4, n_buckets=1).collect()
+    }
+    assert placed[2].n_tokens == 0 and placed[2].tok_start is not None
+    # contiguity: each doc starts where the previous (by id) ended
+    order = sorted(placed)
+    for prev, cur in zip(order, order[1:]):
+        assert placed[cur].tok_start == placed[prev].tok_start + placed[prev].n_tokens + 1
+    # token-for-token agreement with the materialized stream
+    seqs = pack_sequences(df, seq_tokens=4, n_buckets=1).collect()
+    stream = [t for r in sorted(seqs, key=lambda r: r.seq_idx) for t in r.tokens]
+    for d in order:
+        lo, n = placed[d].tok_start, placed[d].n_tokens
+        assert stream[lo + n] == EOS_MARK, (d, lo, n, stream)

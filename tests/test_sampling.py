@@ -126,3 +126,28 @@ def test_bad_spec_validation(docs):
         xxhash_gate(docs, -0.1, ["doc_id"])
     with pytest.raises(ValueError):
         mix_corpora({"a": (docs, 0.0), "b": (docs, 0.0)}, 100, ["doc_id"])
+
+
+def test_rate_threshold_near_one_keeps_all(spark):
+    """The threshold string must NEVER exceed 8 chars for rate < 1 — a
+    9-char value like '100000000' would lexicographically sort below
+    most 8-char hex prefixes and silently keep ~1/16 of rows. Because
+    16^8 is a power of two the multiply is exact and int() stays below
+    the span, but the clamp pins the contract; the largest double below
+    1.0 keeps all but at most a 2^-32 sliver of rows."""
+    import math
+
+    from pii_redaction_data_pipeline_spark.operators.sampling import (
+        _HEX_SPAN,
+        deterministic_sample,
+        rate_threshold,
+    )
+
+    r = math.nextafter(1.0, 0.0)
+    assert int(r * _HEX_SPAN) == _HEX_SPAN - 1  # power-of-two multiply: exact
+    t = rate_threshold(r)
+    assert len(t) == 8 and t == "ffffffff"
+    assert rate_threshold(1.0) == "g" * 8
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    # threshold ffffffff keeps every row whose hash prefix != ffffffff
+    assert deterministic_sample(df, r, ["doc_id"]).count() == 500

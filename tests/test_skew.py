@@ -96,3 +96,29 @@ def test_skew_torture_pipeline(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_salt_is_deterministic_and_map_safe(spark):
+    """The salt must be a deterministic function of row content (a
+    nondeterministic salt can lose/duplicate rows under partial stage
+    recompute — SPARK-23207 class), and the default salt_cols must skip
+    MapType columns (xxhash64 rejects maps at plan time)."""
+    df = _skewed_df(spark).withColumn(
+        "m", F.create_map(F.lit("k"), F.col("turn_idx"))
+    )
+    # map column present: default salt_cols must not crash
+    out = salted_repartition(df, salt_buckets=4, num_partitions=8)
+    assert out.count() == df.count()
+    # determinism: same row -> same partition across independent runs
+    def layout(frame):
+        return {
+            (r.conv_id, r.turn_idx): r.pid
+            for r in frame.withColumn("pid", F.spark_partition_id()).collect()
+        }
+
+    a = layout(salted_repartition(df, salt_buckets=4, num_partitions=8,
+                                  salt_cols=["conv_id", "turn_idx"]))
+    b = layout(salted_repartition(df.repartition(13), salt_buckets=4,
+                                  num_partitions=8,
+                                  salt_cols=["conv_id", "turn_idx"]))
+    assert a == b

@@ -149,3 +149,19 @@ def test_conversation_verdict(spark):
     # min_kept_turns dominates the fraction gate
     strict = {r["conv_id"]: r for r in conversation_verdict(df, 0.0, 3).collect()}
     assert [strict[c]["conv_keep"] for c in "abc"] == [False, False, False]
+
+
+def test_null_role_duplicate_turn_flag_is_total(spark):
+    """A repeated NULL-role turn must flag is_duplicate_turn TRUE, not
+    NULL — role != 'tool' is NULL under three-valued logic and the
+    pipeline's drop gate treats NULL as not-dropped (round-5 review)."""
+    df = spark.createDataFrame(
+        [("c", 0, None, "same text", None),
+         ("c", 1, None, "same text", None),
+         ("c", 2, "tool", "same text", "search")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    rows = {r.turn_idx: r for r in with_conversation_flags(df).collect()}
+    assert rows[0].is_duplicate_turn is False
+    assert rows[1].is_duplicate_turn is True
+    assert rows[2].is_duplicate_turn is False  # tool turns excluded
