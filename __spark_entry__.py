@@ -1954,13 +1954,13 @@ def _curate_full_oracle() -> str:
         f"    WHERE substr(sha256(conv_id || chr(31) || '5'), 1, 8) < '{thresh}'),\n"
         "curated AS (\n"
         "    SELECT l.conv_id, l.turn_idx, l.scrubbed_text,\n"
-        "           l.conv_id || '#' || lpad(CAST(l.turn_idx AS VARCHAR), 12, '0') AS pack_key\n"
+        "           l.conv_id || chr(31) || lpad(CAST(l.turn_idx AS VARCHAR), 12, '0') AS pack_key\n"
         "    FROM labels l JOIN sampled s ON s.conv_id = l.conv_id WHERE l.keep),\n"
         "placed AS (\n"
         "    SELECT conv_id, turn_idx, pack_key,\n"
         f"           CAST({bucket_expr} AS BIGINT) AS bucket,\n"
         r"           CAST(len(regexp_extract_all(scrubbed_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens"
-        "\n    FROM (SELECT *, sha256(pack_key) AS h FROM curated)),\n"
+        "\n    FROM (SELECT *, sha256(conv_id) AS h FROM curated)),\n"
         "cum AS (\n"
         "    SELECT *, CAST(sum(n_tokens + 1) OVER (\n"
         "        PARTITION BY bucket ORDER BY pack_key\n"
@@ -2042,14 +2042,16 @@ def q_curate_full(spark, sf_dir):
         .join(sampled, "conv_id", "semi")
         .withColumn(
             "pack_key",
+            # \x1f sort key + conv_id bucketing: see plans/curate.py
+            # stage 5 (contiguous conversations, prefix-free key order)
             F.concat_ws(
-                "#", "conv_id", F.format_string("%012d", F.col("turn_idx"))
+                "\x1f", "conv_id", F.format_string("%012d", F.col("turn_idx"))
             ),
         )
     )
     placed = with_pack_placement(
         curated, seq_tokens=256, n_buckets=8,
-        id_col="pack_key", text_col="scrubbed_text",
+        id_col="pack_key", text_col="scrubbed_text", bucket_key="conv_id",
     )
     return placed.select(
         "conv_id",

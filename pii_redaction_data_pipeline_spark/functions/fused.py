@@ -38,7 +38,8 @@ from pii_redaction_data_pipeline_spark.functions.quality import (
 )
 from pii_redaction_data_pipeline_spark.functions.scrub import scrub_frame
 
-# mirrors plans.pipeline.MASK_TOKEN_RE + the \s+ collapse + trim chain
+# mirrors functions.scrub.MASK_TOKEN_RE + the \s+ collapse + trim chain
+# (kept local: a precompiled module-level pattern, no cross-module hop)
 _MASK_RE = re.compile(r"\[REDACTED [A-Z_]+\]")
 _WS_RE = re.compile(r"\s+", re.ASCII)
 

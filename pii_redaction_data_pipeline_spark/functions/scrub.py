@@ -63,6 +63,12 @@ def token(pii_type: str) -> str:
     return f"[REDACTED {pii_type}]"
 
 
+#: regex matching every mask token `token()` can emit — THE canonical
+#: pattern for consumers that need to strip/skip masks (the fused ppl
+#: scorer's _MASK_RE mirrors it; a format change here must change there)
+MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"
+
+
 # (type, pattern, needs_luhn) — order is the precedence contract.
 PATTERNS: tuple[tuple[str, str, bool], ...] = (
     ("EMAIL", EMAIL_RE, False),

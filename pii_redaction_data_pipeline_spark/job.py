@@ -56,6 +56,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "retain_orig_docs=false); halves shuffle/output bytes",
     )
     p.add_argument(
+        "--retain-original-text",
+        action="store_true",
+        help="--curate-full only: keep the raw pre-scrub text in the "
+        "annotated table (the curation DAG DROPS it by default — "
+        "run_curation's product stance; this opts back in for debugging)",
+    )
+    p.add_argument(
         "--curated-output",
         default=None,
         help="also write the curated training slice here: kept turns of "
@@ -107,7 +114,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="packed sequence length for --curate-full")
     p.add_argument("--pack-buckets", type=int, default=64,
                    help="packing pseudo-shuffle buckets for --curate-full")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.drop_original_text and args.retain_original_text:
+        p.error("--drop-original-text and --retain-original-text conflict")
+    return args
 
 
 def build_config(args: argparse.Namespace):
@@ -141,17 +151,27 @@ def main(argv: list[str] | None = None) -> dict:
         app_name=f"quality-filter:{args.run_id}",
     )
     if args.curate_full:
+        import dataclasses
+
         from pii_redaction_data_pipeline_spark.plans.curate import (
             CurationConfig,
             run_curation,
         )
+
+        # match run_curation's cfg=None product default: the curation
+        # DAG drops the raw pre-scrub text unless explicitly retained —
+        # passing build_config() unmodified would silently invert it
+        # (PipelineConfig defaults retain=True for the plain pipeline)
+        cfg = build_config(args)
+        if not args.retain_original_text:
+            cfg = dataclasses.replace(cfg, retain_original_text=False)
 
         summary = run_curation(
             spark,
             input_path=args.input,
             work_dir=args.output,
             run_id=args.run_id,
-            cfg=build_config(args),
+            cfg=cfg,
             ccfg=CurationConfig(
                 min_kept_frac=args.conv_min_kept_frac,
                 dedup_jaccard=args.dedup_jaccard,

@@ -117,6 +117,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     small_graph_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given as a pair list.
 
@@ -136,14 +137,33 @@ def connected_components(
     `max_iter` bounds the distributed rounds; the alternation converges
     in O(log^2 n), and hitting the bound raises rather than returning a
     half-contracted graph.
+
+    checkpoint_dir: each round's lineage truncation uses executor-local
+    localCheckpoint by default — lose an executor mid-round on a real
+    cluster and the truncated frame is unrecoverable. A durable run
+    passes a shared-storage directory: round frames spill to parquet
+    there instead (one write+read of the contracting edge set per
+    round), so the star rounds survive executor loss — the same
+    contract dedup_survivor_convs documents for its shingle/pair
+    frames.
     """
     _require_integral_ids(pairs, (src, dst), "connected_components")
+
+    seq = iter(range(10_000))
+
+    def mat(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return frame.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir.rstrip('/')}/cc_{next(seq)}"
+        frame.write.mode("overwrite").parquet(path)
+        return frame.sparkSession.read.parquet(path)
+
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
     # symmetric closure once up front; the star steps keep it oriented
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = mat(edges.distinct())
 
     if small_graph_threshold > 0:
         # the checkpoint above already materialized the edge set, so
@@ -159,7 +179,7 @@ def connected_components(
     for _ in range(max_iter):
         ls = _large_star(edges)
         sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        nxt = _small_star(sym).localCheckpoint(eager=True)
+        nxt = mat(_small_star(sym))
         # converged when the (canonical u>v) star forest stops changing.
         # One partial-agg job computes an order-free set signature —
         # count + bit_xor of a 64-bit row hash (xor: commutative,
@@ -177,9 +197,9 @@ def connected_components(
             edges = nxt
             break
         prev_sig = sig
-        edges = nxt.union(
+        edges = mat(nxt.union(
             nxt.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).localCheckpoint(eager=True)
+        ))
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

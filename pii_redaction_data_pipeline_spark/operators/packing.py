@@ -71,6 +71,7 @@ def with_pack_placement(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = True,
+    bucket_key: str | None = None,
 ) -> DataFrame:
     """Assign every doc its bucket and absolute token span.
 
@@ -78,13 +79,23 @@ def with_pack_placement(
     the doc's first token in its bucket's concatenated stream, EOS
     markers included), seq_start / seq_end (first/last sequence index
     the doc touches; a doc larger than seq_tokens spans several).
+
+    bucket_key: column hashed for the bucket assignment (default:
+    id_col). When rows are GROUPED units — e.g. the turns of one
+    conversation keyed by a per-turn pack_key — bucketing must hash the
+    GROUP id (conv_id), not the row id: hashing the per-turn key would
+    scatter one conversation's turns across buckets and the packed
+    sequences would interleave gappy fragments of many conversations
+    instead of contiguous turn runs (round-5 review finding).
     """
     w = (
         Window.partitionBy("bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn("bucket", bucket_col(F.col(id_col), n_buckets, portable))
+    out = df.withColumn(
+        "bucket", bucket_col(F.col(bucket_key or id_col), n_buckets, portable)
+    )
     # NULL text counts like '' (0 pre-tokens + the EOS marker): the
     # materializer tokenizes NULL as [EOS_MARK], and a NULL n_tokens
     # would fall OUT of the window cumsum (sum skips NULLs), shifting
@@ -117,10 +128,12 @@ def pack_sequences(
     text_col: str = "text",
     portable: bool = True,
     drop_last_partial: bool = False,
+    bucket_key: str | None = None,
 ) -> DataFrame:
     """Materialize the packed sequences: (bucket, seq_idx, n_tokens,
     tokens array<string>, doc_ids array<id-type>) — the doc_ids element
     type follows the input id column (long doc ids, string pack keys).
+    bucket_key: see with_pack_placement (group-id bucketing).
 
     Every sequence except possibly a bucket's last has exactly
     `seq_tokens` tokens; concatenating a bucket's sequences reproduces
@@ -129,7 +142,8 @@ def pack_sequences(
     placement math token-for-token — pinned by tests.
     """
     placed = with_pack_placement(
-        df, seq_tokens, n_buckets, id_col, text_col, portable
+        df, seq_tokens, n_buckets, id_col, text_col, portable,
+        bucket_key=bucket_key,
     ).select("bucket", id_col, text_col)
     id_type = df.schema[id_col].dataType.simpleString()
 

@@ -192,7 +192,18 @@ def dedup_survivor_convs(
         .join(ids.withColumnRenamed("conv_id", "id_b").withColumnRenamed("cid", "cb"), "id_b")
         .select("ca", "cb")
     )
-    comp = connected_components(npairs, src="ca", dst="cb")
+    # durable runs extend the same parquet-spill contract into the star
+    # rounds: without it, the component step's executor-local
+    # checkpoints would undo the executor-loss safety the caller asked
+    # for (round-5 review finding)
+    comp = connected_components(
+        npairs, src="ca", dst="cb",
+        checkpoint_dir=(
+            f"{checkpoint_dir.rstrip('/')}/components"
+            if checkpoint_dir is not None
+            else None
+        ),
+    )
     members = ids.join(comp, ids.cid == comp.id).select("conv_id", "component_id")
     reps = members.groupBy("component_id").agg(F.min("conv_id").alias("rep_conv"))
     dropped = (
@@ -203,12 +214,12 @@ def dedup_survivor_convs(
     return kept_convs.select("conv_id").join(dropped, "conv_id", "anti")
 
 
-def _fp_nulls_per_footer_stats(annotated_path: str):
-    """Parquet-footer verdict on turn_fp NULLs across the WHOLE
-    directory: False = no row group anywhere holds a NULL turn_fp
-    (metadata-only proof, no data read), True = some row group does,
-    None = stats unavailable (column missing from some footer, stats
-    not written, or a non-local/unlistable path).
+def _footer_null_stats(path: str, column: str):
+    """Parquet-footer verdict on `column` NULLs across the WHOLE
+    directory: False = no row group anywhere holds a NULL (metadata-only
+    proof, no data read), True = some row group does, None = stats
+    unavailable (column missing from some footer, stats not written, or
+    a non-local/unlistable path).
 
     Iceberg note: at production scale the same answer comes from the
     manifest's null_value_counts — also metadata-only; this is the
@@ -216,14 +227,14 @@ def _fp_nulls_per_footer_stats(annotated_path: str):
     try:
         import pyarrow.dataset as pds
 
-        dataset = pds.dataset(annotated_path, format="parquet")
+        dataset = pds.dataset(path, format="parquet")
         saw_any = False
         for frag in dataset.get_fragments():
             md = frag.metadata
             names = md.schema.names  # leaf columns of THIS file's footer
-            if "turn_fp" not in names:
+            if column not in names:
                 return None  # pre-upgrade file: its rows read as NULL
-            ci = names.index("turn_fp")
+            ci = names.index(column)
             for rg in range(md.num_row_groups):
                 stats = md.row_group(rg).column(ci).statistics
                 if stats is None or not stats.has_null_count:
@@ -234,6 +245,37 @@ def _fp_nulls_per_footer_stats(annotated_path: str):
         return False if saw_any else None
     except Exception:
         return None
+
+
+def _fp_nulls_per_footer_stats(annotated_path: str):
+    """_footer_null_stats over turn_fp (kept as the named probe the
+    dedup fast path and its tests pin)."""
+    return _footer_null_stats(annotated_path, "turn_fp")
+
+
+def _run_scoped_annotated(spark, annotated_path: str, run_id: str) -> DataFrame:
+    """The annotated table filtered to THIS run's rows, with the same
+    pre-run_id-column migration semantics as run_pipeline: a directory
+    written before the run_id column existed is stamped with the
+    literal run_id (it can only hold this work dir's rows), while a
+    MIXED directory — pre-upgrade files whose rows read run_id as NULL
+    next to stamped files — is rejected loudly: the filter below would
+    silently drop the NULL rows, whole conversations vanishing from the
+    verdict/pack stages with no error. The NULL probe is parquet-footer
+    metadata in the healthy case (one row-level check only when footers
+    are inconclusive)."""
+    ann = spark.read.parquet(annotated_path)
+    if "run_id" not in ann.columns:
+        ann = ann.withColumn("run_id", F.lit(run_id))
+    elif _footer_null_stats(annotated_path, "run_id") is not False:
+        if not ann.filter(F.col("run_id").isNull()).isEmpty():
+            raise ValueError(
+                f"{annotated_path} mixes files with and without run_id "
+                "values; rows reading run_id as NULL cannot be attributed "
+                "to a run — re-annotate (delete the stage:annotate lineage "
+                "row) or migrate the table"
+            )
+    return ann.filter(F.col("run_id") == run_id)
 
 
 def _dedup_fp_source(spark, annotated_path: str, run_id: str):
@@ -260,6 +302,10 @@ def _dedup_fp_source(spark, annotated_path: str, run_id: str):
     ann = spark.read.parquet(annotated_path)
     if "turn_fp" not in ann.columns:
         return None
+    if "run_id" not in ann.columns:
+        # pre-run_id-column files (migration): such a directory predates
+        # turn_fp as well, but guard the filter below anyway
+        ann = ann.withColumn("run_id", F.lit(run_id))
     fpdf = (
         ann.filter(F.col("run_id") == run_id)
         .select("conv_id", "turn_idx", "turn_fp")
@@ -299,7 +345,6 @@ def run_curation(
     """
     from pii_redaction_data_pipeline_spark.operators.packing import pack_sequences
     from pii_redaction_data_pipeline_spark.plans.pipeline import run_pipeline
-    from pii_redaction_data_pipeline_spark.sources.tables import BUCKET_COL
 
     if cfg is None:
         # The curation DAG's product is the scrubbed text; the raw text is
@@ -413,10 +458,8 @@ def run_curation(
     # the annotated table (e.g. only 'sample' pending) must not fail
     # on a missing/GC'd annotated directory.
     def annotated_scan(*cols: str) -> DataFrame:
-        return (
-            spark.read.parquet(paths["annotated"])
-            .filter(F.col("run_id") == run_id)
-            .select("conv_id", "keep", *cols)
+        return _run_scoped_annotated(spark, paths["annotated"], run_id).select(
+            "conv_id", "keep", *cols
         )
 
     # --- stage 2: conversation verdict rollup ---
@@ -475,18 +518,27 @@ def run_curation(
     # --- stage 5: sequence packing of the curated turns ---
     if "pack" not in done:
         sampled = spark.read.parquet(paths["sampled_convs"])
+        # pack_key is the SORT key only (the \x1f unit separator sorts
+        # below every printable char, so string order == (conv_id,
+        # turn_idx) order for any conv_id not containing \x1f itself —
+        # '#' would let a conv_id like 'a#000000000001x' interleave
+        # another conversation's turns); bucketing hashes conv_id so a
+        # conversation's turns stay CONTIGUOUS in one bucket's stream
+        # instead of scattering one turn per bucket
         curated = (
             annotated_scan("turn_idx", "scrubbed_text")
             .filter("keep")
             .join(sampled, "conv_id", "semi")
             .withColumn(
                 "pack_key",
-                F.concat_ws("#", "conv_id", F.format_string("%012d", F.col("turn_idx"))),
+                F.concat_ws(
+                    "\x1f", "conv_id", F.format_string("%012d", F.col("turn_idx"))
+                ),
             )
         )
         packed = pack_sequences(
             curated, seq_tokens=ccfg.seq_tokens, n_buckets=ccfg.pack_buckets,
-            id_col="pack_key", text_col="scrubbed_text",
+            id_col="pack_key", text_col="scrubbed_text", bucket_key="conv_id",
         )
         mark("pack", write_counted(packed, paths["packed"]))
         ran.append("pack")

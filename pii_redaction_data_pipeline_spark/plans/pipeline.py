@@ -39,8 +39,6 @@ from pii_redaction_data_pipeline_spark.sources.tables import (
     with_bucket,
 )
 
-MASK_TOKEN_RE = r"\[REDACTED [A-Z_]+\]"  # mask token format; ppl strips these (functions/fused.py)
-
 # expression budget for riding per-bucket lineage aggregates on the write
 # job's Observation (CollectMetrics evaluates them per row OUTSIDE
 # whole-stage codegen); above this, run_pipeline falls back to the

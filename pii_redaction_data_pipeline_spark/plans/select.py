@@ -96,6 +96,16 @@ def curate_training_corpus(
     out = sel.drop("selected").join(
         corpus.select(id_col, text_col), id_col
     )
+    if classifier is not None and (
+        quality_positives is not None or quality_negatives is not None
+    ):
+        # ambiguous: a pre-fitted model AND training samples — silently
+        # ignoring the samples would gate with a model the caller may
+        # believe was refit on them
+        raise ValueError(
+            "pass either a pre-fitted classifier OR "
+            "quality_positives/quality_negatives to fit one, not both"
+        )
     if classifier is None and (
         quality_positives is not None or quality_negatives is not None
     ):

@@ -39,8 +39,13 @@ from pyspark.sql import functions as F
 
 ROLES = ("admin", "reviewer", "consumer")
 
-#: columns that can carry raw PII and must not reach a consumer
-_PII_CARRIERS = ("text", "entities")
+#: columns that can carry raw PII and must not reach a non-admin:
+#: `text` is the raw content itself; `turn_fp` is xxhash64 of the raw
+#: pre-scrub text (plans/pipeline.py annotate) — unsalted and public,
+#: so a low-entropy turn ("my SSN is 123-45-6789") is dictionary-
+#: recoverable from the fingerprint alone, defeating the redaction;
+#: `entities` carries the matched raw spans (masked for reviewers).
+_PII_CARRIERS = ("text", "turn_fp", "entities")
 
 
 def _mask_entities(col: F.Column) -> F.Column:
@@ -85,8 +90,9 @@ def review_view(annotated: DataFrame, role: str) -> DataFrame:
                 F.array().cast(annotated.schema["entities"].dataType),
             ),
         )
-    if "text" in cols:
-        df = df.drop("text")
+    for c in ("text", "turn_fp"):
+        if c in cols:
+            df = df.drop(c)
     if role == "consumer":
         # kept rows only — the published training-data slice; entities
         # stays as the reference's empty non-admin list (schema parity)

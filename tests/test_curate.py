@@ -279,3 +279,38 @@ def test_resume_with_only_sample_pending_skips_annotated_read(
     shutil.rmtree(f"{wd2}/annotated")
     s = run_curation(spark, tinydup_path, wd2, run_id="c9")
     assert s.get("resumed") is True and s["stages_ran"] == []
+
+
+def test_run_scoped_annotated_migration_semantics(spark, tmp_path):
+    """Pre-run_id directories are stamped (run_pipeline's migration
+    fallback, mirrored); MIXED directories — NULL run_id rows next to
+    stamped ones — are rejected loudly instead of silently dropping
+    whole conversations from the verdict (round-5 review finding)."""
+    import pytest
+
+    from pii_redaction_data_pipeline_spark.plans.curate import (
+        _run_scoped_annotated,
+    )
+
+    old = str(tmp_path / "old")
+    spark.createDataFrame(
+        [("c1", True)], "conv_id string, keep boolean"
+    ).write.parquet(old)
+    assert _run_scoped_annotated(spark, old, "r").count() == 1
+
+    mixed = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [("r", "c1", True)], "run_id string, conv_id string, keep boolean"
+    ).write.parquet(mixed)
+    spark.createDataFrame(
+        [(None, "c2", True)], "run_id string, conv_id string, keep boolean"
+    ).write.mode("append").parquet(mixed)
+    with pytest.raises(ValueError, match="mixes files"):
+        _run_scoped_annotated(spark, mixed, "r").count()
+
+    clean = str(tmp_path / "cleanr")
+    spark.createDataFrame(
+        [("r", "c1", True), ("other", "c9", True)],
+        "run_id string, conv_id string, keep boolean",
+    ).write.parquet(clean)
+    assert _run_scoped_annotated(spark, clean, "r").count() == 1

@@ -236,3 +236,28 @@ def test_curate_full_cli(spark, tmp_path):
     ])
     assert s["stages_ran"] == list(STAGES)
     assert spark.read.parquet(s["paths"]["packed"]).count() > 0
+    # the CLI must match run_curation's cfg=None product default: the
+    # raw pre-scrub text is NOT persisted unless explicitly retained
+    # (round-5 review finding: build_config's PipelineConfig() default
+    # silently inverted it)
+    assert s["retain_original_text"] is False
+    assert "text" not in spark.read.parquet(s["paths"]["annotated"]).columns
+
+
+def test_curate_full_cli_text_flags(tmp_path):
+    """--retain-original-text opts back in; combining it with
+    --drop-original-text is a hard CLI error."""
+    import pytest
+
+    from pii_redaction_data_pipeline_spark.job import parse_args
+
+    args = parse_args(
+        ["--input", "i", "--output", "o", "--lineage", "l",
+         "--curate-full", "--retain-original-text"]
+    )
+    assert args.retain_original_text is True
+    with pytest.raises(SystemExit):
+        parse_args(
+            ["--input", "i", "--output", "o", "--lineage", "l",
+             "--drop-original-text", "--retain-original-text"]
+        )

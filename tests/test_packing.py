@@ -157,3 +157,54 @@ def test_null_text_placement_matches_materializer(spark):
     for d in order:
         lo, n = placed[d].tok_start, placed[d].n_tokens
         assert stream[lo + n] == EOS_MARK, (d, lo, n, stream)
+
+
+def test_bucket_key_keeps_conversations_contiguous(spark):
+    """Group-id bucketing (bucket_key) must keep every conversation's
+    turns in ONE bucket, consecutive in the packed stream — per-turn
+    pack_key hashing scattered them one turn per bucket (round-5 review
+    finding: packed sequences interleaved gappy conversation
+    fragments)."""
+    from pii_redaction_data_pipeline_spark.operators.packing import (
+        EOS_MARK,
+        pack_sequences,
+        with_pack_placement,
+    )
+
+    rows = [
+        (cid, i, f"{cid} turn {i} words here")
+        for cid in ("convA", "convB", "convC", "convD")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).withColumn(
+        "pack_key",
+        F.concat_ws("\x1f", "conv_id", F.format_string("%012d", F.col("turn_idx"))),
+    )
+    placed = with_pack_placement(
+        df, seq_tokens=16, n_buckets=4, id_col="pack_key", bucket_key="conv_id"
+    ).collect()
+    by_conv = {}
+    for r in placed:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for cid, rs in by_conv.items():
+        assert len({r.bucket for r in rs}) == 1, (cid, rs)  # one bucket
+        rs = sorted(rs, key=lambda r: r.turn_idx)
+        for a, b in zip(rs, rs[1:]):  # consecutive token spans
+            assert b.tok_start == a.tok_start + a.n_tokens + 1, (cid, a, b)
+    # materializer agreement: each sequence's doc_ids are consecutive
+    # turns of at most ... and tokens of one conv appear as one run
+    seqs = pack_sequences(
+        df, seq_tokens=16, n_buckets=4, id_col="pack_key",
+        text_col="text", bucket_key="conv_id",
+    ).collect()
+    for s in seqs:
+        convs_in_seq = [k.split("\x1f")[0] for k in s.doc_ids]
+        # a conversation never re-appears after a different conv started
+        seen, last = set(), None
+        for c in convs_in_seq:
+            if c != last:
+                assert c not in seen, (s.bucket, s.seq_idx, convs_in_seq)
+                seen.add(c)
+                last = c

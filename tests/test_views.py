@@ -136,3 +136,21 @@ def test_lineage_status_range(spark, tmp_path):
     assert [r["partition_id"] for r in got] == ["1"]
     assert store.status(run_id="r1").count() == 3
     assert store.status(run_id="r1", start_seq=250).count() == 1
+
+
+def test_turn_fp_pruned_for_non_admin(spark):
+    """turn_fp is xxhash64 of the RAW pre-scrub text — unsalted, so a
+    low-entropy turn is dictionary-recoverable from it. Reviewer and
+    consumer views must drop it like the raw text itself (round-5
+    review finding); admin keeps it."""
+    from pii_redaction_data_pipeline_spark.plans.views import review_view
+
+    df = spark.createDataFrame(
+        [("c", 0, "raw ssn", 12345, True, "scrubbed")],
+        "conv_id string, turn_idx int, text string, turn_fp long, "
+        "keep boolean, scrubbed_text string",
+    )
+    assert "turn_fp" in review_view(df, "admin").columns
+    for role in ("reviewer", "consumer"):
+        cols = review_view(df, role).columns
+        assert "turn_fp" not in cols and "text" not in cols, (role, cols)
