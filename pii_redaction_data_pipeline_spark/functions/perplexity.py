@@ -289,9 +289,9 @@ def _artifact_committed(spark, artifact_path: str) -> bool:
     Hadoop FileSystem API so the probe works on any storage the session
     can write to (local, HDFS, object stores), not just the local FS."""
     try:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(artifact_path + "/_SUCCESS")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        from pii_redaction_data_pipeline_spark.sources.fsutil import hadoop_fs
+
+        _, fs, p = hadoop_fs(spark, artifact_path + "/_SUCCESS")
         return bool(fs.exists(p))
     except Exception:
         return False

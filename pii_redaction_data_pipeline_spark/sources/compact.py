@@ -39,10 +39,19 @@ from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return jvm, fs, hpath
+    from pii_redaction_data_pipeline_spark.sources.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
+
+
+def _hidden(file_path, root_path) -> bool:
+    """True if ANY path segment below the table root is hidden (starts
+    with '_' or '.') — matching Spark's InMemoryFileIndex, which prunes
+    hidden DIRECTORIES too. Filtering only the basename would count
+    bytes under _temporary/.hive-staging leftovers of a crashed write —
+    files Spark will never read — inflating size planning and salting."""
+    rel = str(file_path.toUri().getPath())[len(str(root_path.toUri().getPath())):]
+    return any(seg[:1] in ("_", ".") for seg in rel.split("/") if seg)
 
 
 def dir_stats(spark: SparkSession, path: str) -> dict:
@@ -53,8 +62,7 @@ def dir_stats(spark: SparkSession, path: str) -> dict:
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        if _hidden(st.getPath(), hpath):
             continue
         n_files += 1
         total += st.getLen()
@@ -75,8 +83,7 @@ def _partition_sizes(
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        if _hidden(st.getPath(), hpath):
             continue
         segs = dict(
             seg.split("=", 1)
@@ -148,6 +155,17 @@ def compact_parquet(
             fs.delete(old, True)
 
     plan = plan_compaction(spark, path, target_bytes)
+    # read with partition-column TYPE INFERENCE OFF for the whole
+    # rewrite: inference re-types a bucket=01 segment as int 1, which
+    # (a) breaks the per-partition sizing join below — the file listing
+    # holds the raw segment '01' while the inferred column stringifies
+    # back to '1', so the hot partition silently collapses to one salt
+    # group — and (b) would REWRITE the directory as bucket=1, renaming
+    # the partition out from under readers. Strings round-trip the path
+    # segments exactly; downstream readers re-infer their own types.
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    inf_old = spark.conf.get(inf_key)
+    spark.conf.set(inf_key, "false")
     df = spark.read.parquet(path)
     rows_before = df.count()
 
@@ -205,6 +223,8 @@ def compact_parquet(
     except Exception:
         fs.delete(spath, True)
         raise
+    finally:
+        spark.conf.set(inf_key, inf_old)
 
     # the swap: Hadoop rename() reports failure by returning false, not
     # raising — check both, and recover the live dir if the second fails

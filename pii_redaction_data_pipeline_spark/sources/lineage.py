@@ -52,8 +52,9 @@ class LineageStore:
         # FileNotFound stack trace and fired a failed-query event that
         # Spark 4's ObservationManager listener re-analyzes (driver-log
         # noise measured once per fresh-dir DAG run)
-        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        from pii_redaction_data_pipeline_spark.sources.fsutil import hadoop_fs
+
+        _, fs, jpath = hadoop_fs(self.spark, self.path)
         if not fs.exists(jpath):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         try:

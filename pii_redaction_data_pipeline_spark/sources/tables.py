@@ -42,24 +42,54 @@ class TableIO:
         self.use_iceberg = iceberg_available(spark)
 
     def read(self, path: str) -> DataFrame:
-        if self.use_iceberg and not path.endswith(".parquet"):
-            try:
-                return self.spark.read.format("iceberg").load(path)
-            except Exception:
-                pass
+        if (
+            self.use_iceberg
+            and not path.endswith(".parquet")
+            and self._iceberg_layout(path)
+        ):
+            # a REAL Iceberg target: read errors PROPAGATE. The old
+            # blanket except->parquet fallback would silently re-scan an
+            # Iceberg table's location as raw parquet on any transient
+            # failure — returning deleted and superseded rows from all
+            # snapshots with no error.
+            return self.spark.read.format("iceberg").load(path)
         return self.spark.read.parquet(path)
 
+    def _iceberg_layout(self, path: str) -> bool:
+        """Is `path` an Iceberg target? Catalog identifiers (no '/')
+        always are; a filesystem path is decided by the table-format
+        marker — the `metadata` directory — probed through the Hadoop
+        FS (a driver-side existence check, no scan). An unprobeable
+        path falls back to the plain-parquet read, whose own error
+        surfaces the real problem."""
+        if "/" not in path:
+            return True
+        try:
+            from pii_redaction_data_pipeline_spark.sources.fsutil import (
+                hadoop_fs,
+            )
+
+            _, fs, p = hadoop_fs(self.spark, path.rstrip("/") + "/metadata")
+            return bool(fs.exists(p))
+        except Exception:
+            return False
+
     def write_bucketed(self, df: DataFrame, path: str, overwrite_partitions: bool = True):
-        """Write partitioned by part_bucket; only touched buckets are
-        replaced (Iceberg overwritePartitions / Parquet dynamic mode)."""
+        """Write partitioned by part_bucket. overwrite_partitions=True
+        (the resume contract): only the buckets present in `df` are
+        replaced (Iceberg overwritePartitions / Parquet dynamic mode).
+        False: a FULL overwrite — the whole table is replaced, so
+        buckets absent from `df` are deleted rather than left as ghost
+        rows from a previous run (the parameter was previously accepted
+        and ignored)."""
         if BUCKET_COL not in df.columns:
             df = with_bucket(df, self.n_buckets)
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(path)
-        )
+        w = df.write.mode("overwrite")
+        if overwrite_partitions:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        else:
+            w = w.option("partitionOverwriteMode", "static")
+        w.partitionBy(BUCKET_COL).parquet(path)
 
     def append(self, df: DataFrame, path: str):
         df.write.mode("append").parquet(path)

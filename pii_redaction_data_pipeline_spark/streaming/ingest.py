@@ -6,8 +6,11 @@ one bounded workflow run (reference backend/src/lambda/machine-state.py:
 "process each batch of files as it lands" is a file-source stream with
 `foreachBatch`: new parquet files under the input directory become
 micro-batches, each micro-batch runs the SAME `annotate` plan as the
-batch pipeline (no forked logic), and Spark's streaming checkpoint gives
-exactly-once file-level progress — the streaming analog of the lineage
+batch pipeline (no forked logic). Spark's streaming checkpoint gives
+at-least-once micro-batch delivery through foreachBatch; the sink makes
+the pipeline exactly-once END-TO-END by being idempotent — partitioned
+by the deterministic _batch_id with dynamic overwrite, so a replayed
+batch overwrites its own partition. The streaming analog of the lineage
 table's bucket-level resume.
 
 Watermarks/session windows are NOT used: per the north rule the engine
@@ -28,7 +31,7 @@ from pyspark.sql import functions as F
 
 from pii_redaction_data_pipeline_spark.config import PipelineConfig
 from pii_redaction_data_pipeline_spark.plans.pipeline import annotate
-from pii_redaction_data_pipeline_spark.sources.tables import TableIO, with_bucket
+from pii_redaction_data_pipeline_spark.sources.tables import with_bucket
 
 TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, "
@@ -44,6 +47,7 @@ def run_streaming_pipeline(
     cfg: PipelineConfig | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    ppl_model=None,
 ):
     """Start the file-source stream; returns the StreamingQuery.
 
@@ -51,9 +55,21 @@ def run_streaming_pipeline(
     and finishes (bounded run); otherwise it keeps watching input_dir.
     max_files_per_trigger mirrors the reference's 10-docs-per-poll pacing
     (reference backend/src/lambda/extract.py:54-56).
+
+    cfg.train_ppl_on_corpus requires a pre-fitted `ppl_model`
+    (functions/perplexity.train_char_trigram_lm over the landed corpus,
+    or load_or_train_char_trigram_lm's durable artifact): letting
+    annotate() fit per micro-batch would score the same turn differently
+    depending on which files happened to land together — the exact
+    batching-dependence annotate's own contract forbids for resumes.
     """
     cfg = cfg or PipelineConfig()
-    io = TableIO(spark, n_buckets=cfg.n_buckets)
+    if cfg.train_ppl_on_corpus and ppl_model is None:
+        raise ValueError(
+            "streaming with cfg.train_ppl_on_corpus needs a pre-fitted "
+            "ppl_model — fitting on each micro-batch alone would make "
+            "ppl (and keep/drop) depend on file-landing batching"
+        )
 
     reader = spark.readStream.schema(TRANSCRIPT_DDL)
     if max_files_per_trigger is not None:
@@ -63,12 +79,22 @@ def run_streaming_pipeline(
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        ann = annotate(batch_df, cfg, spark)
+        ann = annotate(batch_df, cfg, spark, ppl_model=ppl_model)
         ann = with_bucket(ann, cfg.n_buckets)
         ann = ann.withColumn("_batch_id", F.lit(batch_id))
-        # append (not dynamic overwrite): micro-batches accumulate;
-        # exactly-once comes from the streaming checkpoint's file log
-        io.append(ann, output_path)
+        # IDEMPOTENT write, not a plain append: foreachBatch is only
+        # at-least-once (a crash between the sink write and the
+        # streaming commit replays the micro-batch), so the sink
+        # partitions by _batch_id with dynamic overwrite — a replayed
+        # batch overwrites its OWN partition instead of appending its
+        # rows a second time. This is the standard foreachBatch
+        # exactly-once recipe: deterministic batch_id + idempotent sink.
+        (
+            ann.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(output_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

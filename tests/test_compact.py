@@ -119,3 +119,53 @@ def test_partitioned_compact_rejects_unpartitioned_dir(spark, tmp_path):
         .write.parquet(path)  # NOT partitionBy("part")
     with pytest.raises(ValueError, match="part"):
         compact_parquet(spark, path, partition_cols=["part"])
+
+
+def test_hidden_directories_excluded_from_stats(spark, tmp_path):
+    """Files under _temporary/.hive-staging (crashed-write leftovers)
+    are pruned by Spark's file index but were counted by the byte
+    planner, inflating size estimates (round-5 review finding): any
+    hidden PATH SEGMENT must exclude the file, not just a hidden
+    basename."""
+    import os
+
+    from pii_redaction_data_pipeline_spark.sources.compact import dir_stats
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    clean = dir_stats(spark, p)
+    junk = os.path.join(p, "_temporary", "0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0001.parquet"), "wb") as f:
+        f.write(b"x" * 4096)
+    assert dir_stats(spark, p) == clean
+
+
+def test_compaction_preserves_zero_padded_partition_segments(spark, tmp_path):
+    """A bucket=01 directory must stay bucket=01 through compaction:
+    partition-column type inference would re-type it as int 1 — breaking
+    the per-partition sizing join (listing holds '01', column
+    stringifies to '1') and RENAMING the directory on rewrite (round-5
+    review finding)."""
+    import os
+
+    from pii_redaction_data_pipeline_spark.sources.compact import compact_parquet
+
+    p = str(tmp_path / "t")
+    for b in ("01", "02"):
+        (
+            spark.range(50).selectExpr("id", f"'{b}' as bucket")
+            .repartition(5)
+            .write.mode("append").partitionBy("bucket").parquet(p)
+        )
+    before = spark.read.parquet(p).count()
+    res = compact_parquet(spark, p, target_bytes=10**9, partition_cols=["bucket"])
+    assert res["rows"] == before
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("bucket=")
+    ) == ["bucket=01", "bucket=02"]
+    # inference conf restored for the session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+        == "true"
+    )

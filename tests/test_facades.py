@@ -60,6 +60,14 @@ def test_tableio_iceberg_skips_parquet_suffix_paths(monkeypatch):
 
 
 def test_tableio_falls_back_to_parquet_on_iceberg_error(monkeypatch):
+    """Layout-probe contract (round 5): a filesystem path WITHOUT an
+    Iceberg `metadata` marker reads as plain parquet (here the probe
+    itself fails — no JVM on the fake — which conservatively means
+    'not Iceberg'); a path WITH the marker is a real Iceberg table and
+    read errors PROPAGATE instead of silently re-scanning the location
+    as raw parquet (deleted/superseded rows from all snapshots)."""
+    import pytest
+
     from pii_redaction_data_pipeline_spark.sources import tables
 
     monkeypatch.setattr(tables, "iceberg_available", lambda s: True)
@@ -67,6 +75,10 @@ def test_tableio_falls_back_to_parquet_on_iceberg_error(monkeypatch):
     io = tables.TableIO(_FakeSpark(log, iceberg_fails=True))
     assert io.read("some/dir") == "df:parquet:some/dir"
     assert log == [("parquet", "some/dir")]
+    # metadata marker present -> the iceberg failure must surface
+    monkeypatch.setattr(tables.TableIO, "_iceberg_layout", lambda self, p: True)
+    with pytest.raises(RuntimeError, match="no iceberg catalog"):
+        io.read("some/dir")
 
 
 def test_tableio_parquet_only_without_jar(monkeypatch):
@@ -145,3 +157,33 @@ def test_make_langid_udf_fasttext_path(monkeypatch, tmp_path, spark):
     # the model the worker loaded came from the broadcast file bytes
     assert langid._FT_CACHE[str(model_path)].payload == b"stub-model"
     langid._FT_CACHE.clear()
+
+
+def test_write_bucketed_full_overwrite_removes_ghost_buckets(spark, tmp_path):
+    """overwrite_partitions=False must be a FULL overwrite: buckets
+    absent from the new frame disappear instead of surviving as ghost
+    rows (the parameter was previously accepted and ignored —
+    round-5 review finding)."""
+    from pii_redaction_data_pipeline_spark.sources.tables import (
+        BUCKET_COL,
+        TableIO,
+    )
+
+    io = TableIO(spark, n_buckets=4)
+    p = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(40)], "conv_id string, v int"
+    )
+    io.write_bucketed(full, p)
+    all_buckets = {
+        r[BUCKET_COL]
+        for r in spark.read.parquet(p).select(BUCKET_COL).distinct().collect()
+    }
+    assert len(all_buckets) == 4
+    one_conv = full.limit(1)
+    # dynamic (default): untouched buckets survive
+    io.write_bucketed(one_conv, p)
+    assert spark.read.parquet(p).count() > 1
+    # static: the whole table is replaced
+    io.write_bucketed(one_conv, p, overwrite_partitions=False)
+    assert spark.read.parquet(p).count() == 1

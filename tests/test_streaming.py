@@ -220,3 +220,41 @@ def test_watermarked_turn_metrics_drop_late_data(tmp_path, spark):
     # the 10:40 window's watermark hasn't passed -> not emitted yet
     assert ("2024-01-01 10:40:00", "user") not in got, got
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_replayed_batch_is_idempotent(tmp_path, spark):
+    """foreachBatch is at-least-once: a crash between the sink write and
+    the streaming commit replays the micro-batch with the SAME batch_id.
+    The sink must be idempotent — partitioned by _batch_id with dynamic
+    overwrite — so the replay overwrites its own partition instead of
+    appending duplicates (round-5 review finding). Modeled by draining
+    the same landed file under two fresh checkpoints: both runs process
+    it as batch 0."""
+    tdf, _ = generate("tiny")
+    in_dir = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    _land(spark, tdf, {c[:18] for c in tdf["conv_id"].unique()}, in_dir, "b")
+
+    q = run_streaming_pipeline(spark, in_dir + "/*", out, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    q = run_streaming_pipeline(spark, in_dir + "/*", out, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1 > 0
+
+
+def test_streaming_rejects_per_batch_ppl_training(tmp_path, spark):
+    """cfg.train_ppl_on_corpus without a pre-fitted model must raise:
+    fitting per micro-batch would make keep/drop depend on which files
+    landed together (round-5 review finding)."""
+    import dataclasses
+
+    import pytest
+
+    cfg = dataclasses.replace(PipelineConfig(), train_ppl_on_corpus=True)
+    with pytest.raises(ValueError, match="pre-fitted"):
+        run_streaming_pipeline(
+            spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "ck"), cfg=cfg,
+        )
