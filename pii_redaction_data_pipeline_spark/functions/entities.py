@@ -130,12 +130,29 @@ def entities_frame(texts: pd.Series) -> pd.Series:
     """
     s = texts.fillna("")
     out = pd.Series([None] * len(s), index=s.index, dtype=object)
-    cand = _digit_core_mask(s)  # IPv4/SSN/CC/PHONE superset
-    cand |= s.str.contains("@", regex=False).to_numpy()  # EMAIL
-    cand |= s.str.contains(":", regex=False).to_numpy()  # IPv6
-    folded = s.str.casefold()
-    for w in _PROFANITY_TRIGGERS:
-        cand |= folded.str.contains(w, regex=False).to_numpy()
+    # derive the prefilter from scrub's OWN trigger table, never a
+    # hand-copied literal list: a pattern added to scrub.PATTERNS whose
+    # trigger the copy lacked would pass scrub_frame but silently fail
+    # this prescan — entities and scrub_counts disagreeing with no error
+    # (the parity the module docstring pins). A trigger kind this
+    # prescan cannot express (None) disables the prefilter entirely.
+    from pii_redaction_data_pipeline_spark.functions.scrub import _TRIGGERS
+
+    kinds = set(_TRIGGERS.values())
+    if None in kinds:
+        cand = np.ones(len(s), dtype=bool)
+    else:
+        cand = np.zeros(len(s), dtype=bool)
+        if "digit" in kinds:
+            cand |= _digit_core_mask(s)  # IPv4/SSN/CC/PHONE superset
+        if "@" in kinds:
+            cand |= s.str.contains("@", regex=False).to_numpy()  # EMAIL
+        if ":" in kinds:
+            cand |= s.str.contains(":", regex=False).to_numpy()  # IPv6
+        if "profanity" in kinds:
+            folded = s.str.casefold()
+            for w in _PROFANITY_TRIGGERS:
+                cand |= folded.str.contains(w, regex=False).to_numpy()
     empty: list[dict] = []
     vals = s.to_numpy(dtype=object)
     res = np.empty(len(s), dtype=object)

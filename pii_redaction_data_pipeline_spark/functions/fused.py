@@ -38,9 +38,11 @@ from pii_redaction_data_pipeline_spark.functions.quality import (
 )
 from pii_redaction_data_pipeline_spark.functions.scrub import scrub_frame
 
-# mirrors functions.scrub.MASK_TOKEN_RE + the \s+ collapse + trim chain
-# (kept local: a precompiled module-level pattern, no cross-module hop)
-_MASK_RE = re.compile(r"\[REDACTED [A-Z_]+\]")
+from pii_redaction_data_pipeline_spark.functions.scrub import MASK_TOKEN_RE
+
+# compiled from scrub's canonical constant so a mask-format change can
+# never desync the ppl input stripper from what the scrubber emits
+_MASK_RE = re.compile(MASK_TOKEN_RE)
 _WS_RE = re.compile(r"\s+", re.ASCII)
 
 # --- D1 text normalization (SURVEY.md §2.8 D1: the Spark analog of the

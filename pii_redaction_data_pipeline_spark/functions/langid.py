@@ -159,7 +159,11 @@ def _verdict(
     is_cjk = cjk_frac > 0.15
     is_cyr = cyr_frac > 0.5
     lang = np.where(is_cyr, "ru", lang)
-    conf = np.where(is_cyr, np.maximum(cyr_frac, 0.9), conf)
+    # clip like the zh branch: the numerator counts every U+0400-04FF
+    # codepoint (incl. combining marks / the thousands sign) while the
+    # denominator counts only letters, so cyr_frac can exceed 1 — and
+    # the (lang, conf) contract promises a fastText-style probability
+    conf = np.where(is_cyr, np.maximum(cyr_frac, 0.9).clip(max=1.0), conf)
     lang = np.where(is_cjk, "zh", lang)
     conf = np.where(is_cjk, np.maximum(cjk_frac + 0.5, 0.9).clip(max=1.0), conf)
 
@@ -320,10 +324,16 @@ def make_langid_udf(fasttext_model_path: str | None = None, spark=None):
             model_bytes = f.read()
         bc = spark.sparkContext.broadcast(model_bytes) if spark else None
         key = fasttext_model_path
+        # capture ONLY (bc, local_bytes, key) in the UDF closure: with a
+        # broadcast, referencing model_bytes itself would cloudpickle the
+        # whole model file into every task's command IN ADDITION to the
+        # broadcast (the make_annotate_udf / make_ppl_udf contract)
+        local_bytes = None if bc is not None else model_bytes
+        del model_bytes
 
         @F.pandas_udf(_LANGID_SCHEMA)
         def langid_udf(texts: pd.Series) -> pd.DataFrame:
-            data = bc.value if bc is not None else model_bytes
+            data = bc.value if bc is not None else local_bytes
             return fasttext_langid_frame(texts, _load_fasttext(data, key))
 
         return langid_udf

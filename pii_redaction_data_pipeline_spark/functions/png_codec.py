@@ -143,9 +143,14 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
         data = buf[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
+            try:
+                width, height, depth, color_type, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            except struct.error as e:
+                # uniform malformed-input contract: ValueError, never a
+                # leaked struct.error on a truncated IHDR
+                raise ValueError(f"malformed PNG IHDR: {e}") from e
             if depth != 8 or color_type not in _CHANNELS:
                 raise ValueError(f"unsupported PNG (depth={depth}, color={color_type})")
             if interlace:
@@ -161,9 +166,15 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"malformed PNG IDAT: {e}") from e
     stride = width * ch
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    try:
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    except ValueError as e:  # wrong decompressed size for the declared dims
+        raise ValueError(f"malformed PNG: {e}") from e
     filters, data = rows[:, 0], rows[:, 1:]
     out = np.zeros((height, stride), dtype=np.uint8)
     for y in range(height):

@@ -112,14 +112,18 @@ def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
         row_first = starts_b[starts_b < len(arr)]
         run_start[row_first] = nonws[row_first]
 
-        cs = np.empty(len(arr) + 1, dtype=np.int32)  # batches < 2^31 chars
+        # int64: an int32 cumsum would silently WRAP past 2^31 chars in
+        # one concatenated batch (8192 rows averaging >262 KB — log-file
+        # shaped documents reach that), corrupting every count after the
+        # overflow point with no error
+        cs = np.empty(len(arr) + 1, dtype=np.int64)
         for mask, out in (
             (run_start, n_words),
             (nonws, n_nonspace),
             (is_word, n_wordchars),
         ):
             cs[0] = 0
-            np.cumsum(mask, dtype=np.int32, out=cs[1:])
+            np.cumsum(mask, dtype=np.int64, out=cs[1:])
             out[idx] = cs[ends_b] - cs[starts_b]
 
     a_idx = np.flatnonzero(ascii_mask)

@@ -43,10 +43,11 @@ IPV4_RE = (
     r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
 )
 SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
-# 16-digit card, uniform optional space/dash group separators
+# 16-digit card, uniform optional space/dash group separators. (No
+# RE2-safe variant ships: the DuckDB oracle deliberately excludes
+# CREDIT_CARD — the Luhn gate is not SQL-expressible — so a
+# backref-free pattern would be dead code that could only drift.)
 CC_RE = r"\b[0-9]{4}([ -]?)[0-9]{4}\1[0-9]{4}\1[0-9]{4}\b"
-# RE2-safe variant (no backreference) for the SQL-oracle path
-CC_RE_RE2 = r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b"
 PHONE_RE = (
     r"(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
 )

@@ -737,3 +737,86 @@ def test_decode_image_meta_custom_id_col(spark):
     )
     rows = decode_image_meta(df, id_col="image_id").collect()
     assert len(rows) == 1 and rows[0].doc_id == 7 and rows[0].n_bytes == 18
+
+
+def test_ru_confidence_clipped_to_probability():
+    """Cyrillic-share conf counts every U+0400-04FF codepoint in the
+    numerator but only letters in the denominator, so it could exceed
+    1.0 (e.g. a run of U+0482 thousands signs); the (lang, conf)
+    contract promises a fastText-style probability (round-5 review)."""
+    import pandas as pd
+
+    from pii_redaction_data_pipeline_spark.functions.langid import (
+        langid_frame,
+        langid_frame_reference,
+    )
+
+    s = pd.Series(["҂" * 10, "привет как дела сегодня"])
+    for fn in (langid_frame, langid_frame_reference):
+        out = fn(s)
+        assert list(out["lang"]) == ["ru", "ru"]
+        assert (out["lang_conf"] <= 1.0).all(), fn.__name__
+
+
+def test_entities_prefilter_derives_from_scrub_triggers():
+    """The candidate-row prescan must derive from scrub._TRIGGERS, not a
+    hand-copied literal list: a pattern whose trigger the prescan cannot
+    express (None) disables the prefilter so no row is skipped (round-5
+    review finding: a new PII pattern would silently desync entities
+    from scrub_counts)."""
+    import re as _re
+
+    import pandas as pd
+
+    from pii_redaction_data_pipeline_spark.functions import entities, scrub
+
+    fake_idx = len(scrub.PATTERNS)
+    scrub._COMPILED.append(("TESTTYPE", _re.compile("zqxptn"), False))
+    scrub._TRIGGERS[fake_idx] = None
+    try:
+        out = entities.entities_frame(pd.Series(["hello zqxptn world"]))
+        assert [e["type"] for e in out.iloc[0]] == ["TESTTYPE"]
+    finally:
+        scrub._COMPILED.pop()
+        del scrub._TRIGGERS[fake_idx]
+
+
+def test_png_malformed_inputs_raise_valueerror_only():
+    """Truncated IHDR and corrupt IDAT must raise ValueError (the
+    module's uniform malformed-input contract), not leak struct.error /
+    zlib.error (round-5 review finding)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pii_redaction_data_pipeline_spark.functions.png_codec import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        # length + type + data + 4-byte CRC (unchecked by the decoder)
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00\x00\x00\x00"
+
+    # IHDR shorter than the 13-byte layout
+    trunc = PNG_MAGIC + chunk(b"IHDR", b"\x00" * 5)
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(trunc)
+    # valid IHDR, garbage IDAT
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"nonsense") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bad)
+    # decompressed size disagreeing with declared dims
+    wrong = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 5)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(wrong)
+    # round-trip still green
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    w, h, got = decode_png(encode_png(px))
+    assert (got == px).all()
