@@ -113,8 +113,9 @@ def time_pipeline(
 def time_curation(spark, transcripts_path: str, out_dir: str) -> dict:
     """End-to-end curation DAG wall-clock (annotate -> conv verdict ->
     conv near-dup dedup -> sample -> pack, plans/curate.py) -> turns/sec.
-    One timed run (the DAG subsumes the pipeline already measured as the
-    median-of-3 flagship; this reports the composed overhead)."""
+    main() wraps this in the same bracketed median-of-3 protocol as the
+    flagship pipeline; each call reports the composed overhead
+    (orchestration_overhead_sec) alongside the stage walls."""
     import shutil
 
     from pii_redaction_data_pipeline_spark.plans.curate import (
@@ -213,7 +214,12 @@ def main():
     ).save()
     # spin up + import-warm the Python UDF workers so the first pandas-UDF
     # headline query isn't charged 32 cold CPython imports of the package
-    qs["pipeline_documents"](spark, "/root/testdata/sf0.001").write.format(
+    # derive the warm-up's tiny sibling dataset from sf_dir so a
+    # relocated SPARK_GRAFT_SF_DIR root doesn't crash the whole bench
+    tiny_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(tiny_dir):
+        tiny_dir = sf_dir
+    qs["pipeline_documents"](spark, tiny_dir).write.format(
         "noop"
     ).mode("overwrite").save()
 
@@ -332,10 +338,13 @@ def main():
     # from this artifact, never hand-written); also append to a run
     # history so the stats block can state the spread across windows
     # rather than whichever single window ran last
+    # measured_at stamps BEFORE any artifact is written, so the stats
+    # regenerator reports measurement time, not whenever it happened to
+    # re-run (round-5 review finding: last_bench.json lacked the key)
+    result["measured_at"] = time.strftime("%Y-%m-%d %H:%M")
     os.makedirs(os.path.join(REPO, ".bench_cache"), exist_ok=True)
     with open(os.path.join(REPO, ".bench_cache", "last_bench.json"), "w") as f:
         f.write(json.dumps(result) + "\n")
-    result["measured_at"] = time.strftime("%Y-%m-%d %H:%M")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "bench_history.jsonl"), "a") as f:
         f.write(json.dumps(result) + "\n")

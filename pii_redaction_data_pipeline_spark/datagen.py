@@ -403,17 +403,34 @@ def generate(scale: str = "tiny") -> tuple[pd.DataFrame, pd.DataFrame]:
             ti += 1
 
         # planted near-duplicate conversation: clone this conv's rows
-        # and labels verbatim minus the last dup_conv_trim turns. The
-        # per-turn labels transfer exactly (duplicate/tool-loop state is
-        # within-conversation and truncation only removes suffix turns);
-        # ts shifts by a day so the clone is temporally distinct.
+        # and labels minus the last dup_conv_trim turns. Duplicate-turn
+        # state is within-conversation and truncation only removes
+        # suffix turns, so those labels transfer verbatim — but a
+        # suffix cut can leave a PARTIAL planted tool-loop run at the
+        # clone's tail (e.g. 2 surviving turns of a 4-run): the
+        # pipeline (tool_loop_min_run=3) correctly keeps such turns, so
+        # their tool_loop labels must be re-derived, not copied
+        # (seed-dependent golden corruption otherwise). ts shifts by a
+        # day so the clone is temporally distinct.
         if sc.dup_conv_every and ci % sc.dup_conv_every == 0:
             dup_conv = conv + "-dup"
             n_keep_rows = max(len(rows) - conv_row_start - sc.dup_conv_trim, 1)
-            for r, lb in zip(
-                rows[conv_row_start : conv_row_start + n_keep_rows],
-                labels[conv_row_start : conv_row_start + n_keep_rows],
+            kept_rows = rows[conv_row_start : conv_row_start + n_keep_rows]
+            kept_labels = list(labels[conv_row_start : conv_row_start + n_keep_rows])
+            # trailing run of identical tool turns in the KEPT slice
+            tail = 0
+            for r in reversed(kept_rows):
+                if r[2] == "tool" and r[3] == kept_rows[-1][3] and r[4] == kept_rows[-1][4]:
+                    tail += 1
+                else:
+                    break
+            if 0 < tail < 3 and any(
+                "tool_loop" in lb[3] for lb in kept_labels[-tail:]
             ):
+                for k in range(len(kept_labels) - tail, len(kept_labels)):
+                    r = kept_rows[k]
+                    kept_labels[k] = _label(conv, r[1], [], r[3])
+            for r, lb in zip(kept_rows, kept_labels):
                 rows.append((dup_conv, r[1], r[2], r[3], r[4], r[5] + 86_400_000_000))
                 labels.append((dup_conv,) + lb[1:])
 

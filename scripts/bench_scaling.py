@@ -75,11 +75,18 @@ def main():
     # median across attempts is reported alongside for honesty.
     if not os.path.exists(hist_path):
         raise SystemExit(f"no history at {hist_path}; run a measurement first")
-    all_history = [
-        h
-        for h in (json.loads(l) for l in open(hist_path) if l.strip())
-        if _score(h) > 0
-    ]
+    def _lines():
+        # a kill mid-append can truncate the last line; one corrupt line
+        # must not brick every later report (round-5 review finding)
+        for l in open(hist_path):
+            if not l.strip():
+                continue
+            try:
+                yield json.loads(l)
+            except json.JSONDecodeError:
+                print(f"skipping corrupt history line ({l[:60]!r}...)")
+
+    all_history = [h for h in _lines() if _score(h) > 0]
     if not all_history:
         raise SystemExit(f"no usable runs in {hist_path}")
     # headline = best run across ALL scales (the campaign alternates
@@ -125,7 +132,7 @@ def main():
     score = _pair_score(best_run, hn)
     verdict = "PASS" if score >= 0.8 else "FAIL"
     scale_rows = []
-    for sc in sorted({h.get("scale") for h in all_history}):
+    for sc in sorted({h.get("scale") for h in all_history}, key=str):
         ss = sorted(_score(h) for h in all_history if h.get("scale") == sc)
         rr = sorted(
             h["efficiency_4_to_16"]

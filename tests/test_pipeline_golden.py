@@ -101,3 +101,60 @@ def test_drop_original_text_mode(spark, tiny):
     ra = a.select(*cols).orderBy("conv_id", "turn_idx").collect()
     rb = b.select(*cols).orderBy("conv_id", "turn_idx").collect()
     assert ra == rb
+
+
+def test_golden_tool_loop_labels_match_rule_across_seeds():
+    """EVERY golden tool_loop label must correspond to a non-first turn
+    of a run of >=3 identical consecutive tool turns — the pipeline's
+    rule (tool_loop_min_run=3). Round-5 review finding: the near-dup
+    clone's suffix trim could cut a planted 4-run down to 2 surviving
+    turns while copying their tool_loop labels verbatim, planting
+    ground truth the pipeline correctly refuses to reproduce
+    (seed-dependent; this sweep caught 5 corrupting seeds of 40 on the
+    pre-fix generator). Pure pandas — no Spark session needed."""
+    from pii_redaction_data_pipeline_spark.datagen import (
+        SCALES,
+        Scale,
+        generate,
+    )
+
+    def violations(scale):
+        tdf, ldf = generate(scale)
+        lab = {(r.conv_id, r.turn_idx): r for r in ldf.itertuples()}
+        bad = []
+        for conv, g in tdf.groupby("conv_id"):
+            rows = list(g.sort_values("turn_idx").itertuples())
+            i = 0
+            while i < len(rows):
+                if rows[i].role != "tool":
+                    i += 1
+                    continue
+                j = i
+                while (
+                    j < len(rows)
+                    and rows[j].role == "tool"
+                    and rows[j].text == rows[i].text
+                    and rows[j].tool == rows[i].tool
+                ):
+                    j += 1
+                run = rows[i:j]
+                for k, r in enumerate(run):
+                    want = len(run) >= 3 and k > 0
+                    got = "tool_loop" in lab[(conv, r.turn_idx)].drop_reasons
+                    if want != got:
+                        bad.append((conv, r.turn_idx, len(run), k, want, got))
+                i = j
+        return bad
+
+    assert violations("tinydup") == []
+    # seed sweep over clone-trimmed scales (includes the 5 seeds the
+    # pre-fix generator corrupted: 6008, 6018, 6019, 6026, 6037)
+    for seed in range(6000, 6040):
+        name = f"_loopsweep{seed}"
+        SCALES[name] = Scale(
+            name, 15, 25, 0, 0, seed, dup_conv_every=2, dup_conv_trim=2
+        )
+        try:
+            assert violations(name) == [], seed
+        finally:
+            del SCALES[name]
