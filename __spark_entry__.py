@@ -502,7 +502,7 @@ def q_a4_group_category(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     planted = F.concat(
         F.col("text"),
-        F.lit(" contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789"),
+        F.lit(_PLANT_A),
     )
     per_doc = docs.select(
         F.explode(
@@ -536,6 +536,16 @@ def q_first_match(spark, sf_dir):
 # oracle-checked text / training-data operators (documents table)
 # ---------------------------------------------------------------------------
 
+# planted-PII text appended to every fixture doc by the a3/a4 and
+# scrub/entity queries AND re-stated inside their DuckDB oracle SQL —
+# one constant per literal so the two sides can never silently diverge
+# (round-5 review: six hand-copied occurrences)
+_PLANT_A = " contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789"
+_PLANT_B = (
+    " reach me: jane.doe@example.com or (555) 123-4567"
+    " ssn 123-45-6789 host 10.0.0."
+)
+
 _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _SSN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 _IPV4 = "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
@@ -548,7 +558,7 @@ def q_scrub_sql(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     planted = F.concat(
         F.col("text"),
-        F.lit(" reach me: jane.doe@example.com or (555) 123-4567 ssn 123-45-6789 host 10.0.0."),
+        F.lit(_PLANT_B),
         (F.col("doc_id") % 250 + 1).cast("string"),
     )
     s = planted
@@ -566,15 +576,10 @@ def q_quality_heuristics(spark, sf_dir):
     stat is exercised by the pipeline queries). The score rode its own
     query (`quality_score`) in round 1; folded here so the checked-query
     count stays within the driver's 50-row correctness harness."""
-    from pii_redaction_data_pipeline_spark.functions.text_stats import quality_score
-
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    nonspace = F.length(F.regexp_replace(t, "\\s", ""))
-    symbols = nonspace - F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
     n_words = F.size(F.split(F.trim(t), "\\s+"))
-    sr = symbols / F.greatest(nonspace, F.lit(1))
-    score = quality_score(F.length(t), F.regexp_count(t, F.lit(r"\S+")), sr, F.lit(0.0))
+    sr, score = _sql_quality_score(t)
     return docs.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars_actual"),
@@ -603,7 +608,7 @@ def q_a3_entity_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     planted = F.concat(
         F.col("text"),
-        F.lit(" contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789"),
+        F.lit(_PLANT_A),
     )
     return docs.select(
         "doc_id",
@@ -613,18 +618,29 @@ def q_a3_entity_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+
+
+def _sql_quality_score(t):
+    """The SQL-expressible (symbol_ratio, score) pair shared by
+    q_quality_heuristics and the pruned q_quality_score — one site for
+    the greatest(...,1) guard and the rep_frac=0 pin (round-5 review:
+    the block was previously copy-pasted into both queries)."""
+    from pii_redaction_data_pipeline_spark.functions.text_stats import quality_score
+
+    nonspace = F.length(F.regexp_replace(t, "\\s", ""))
+    symbols = nonspace - F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    sr = symbols / F.greatest(nonspace, F.lit(1))
+    score = quality_score(
+        F.length(t), F.regexp_count(t, F.lit(r"\S+")), sr, F.lit(0.0)
+    )
+    return sr, score
+
 def q_quality_score(spark, sf_dir):
     """Composite 0..1 quality score (functions/text_stats.quality_score)
     over SQL-expressible inputs (rep_frac pinned 0 here — the pandas-UDF
     repetition stat is exercised by the pipeline queries)."""
-    from pii_redaction_data_pipeline_spark.functions.text_stats import quality_score
-
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    nonspace = F.length(F.regexp_replace(t, "\\s", ""))
-    symbols = nonspace - F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
-    sr = symbols / F.greatest(nonspace, F.lit(1))
-    score = quality_score(F.length(t), F.regexp_count(t, F.lit(r"\S+")), sr, F.lit(0.0))
+    _, score = _sql_quality_score(F.col("text"))
     return docs.select(
         "doc_id", F.round(score, 6).alias("quality")
     ).orderBy("doc_id")
@@ -635,12 +651,21 @@ def q_token_count(spark, sf_dir):
     normalized-md5 content fingerprint (exact-dedup key; its own query
     `fingerprint` in round 1, folded here to stay within the driver's
     50-row correctness harness)."""
+    from pii_redaction_data_pipeline_spark.functions.text_stats import (
+        bpe_token_count,
+        ws_token_count,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
+    # the package helpers ARE the counted semantics (ws_token_count
+    # returns 0 for empty text — the oracle SQL encodes the same CASE);
+    # inlining their expressions here previously left two divergent
+    # sources of truth for "token count" (round-5 review finding)
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(t), "\\s+")).cast("long").alias("ws_tokens"),
-        F.regexp_count(t, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").alias("bpe_tokens"),
+        ws_token_count(t).cast("long").alias("ws_tokens"),
+        bpe_token_count(t).cast("long").alias("bpe_tokens"),
         _content_fp(t).alias("fp"),
     ).orderBy("doc_id")
 
@@ -707,10 +732,13 @@ def q_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, probes, k=3).orderBy("probe_id", "rank")
 
 
-def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: all (a,b) with cosine
-    similarity above threshold (brute-force; the LSH-bucketed scale path
-    is ann_lsh). Dot/norm via F.aggregate/F.zip_with — JVM-side."""
+def _neardup_pairs(spark, sf_dir):
+    """(capped embeddings frame, exact-cosine pairs >= 0.35) — the ONE
+    pair-construction block shared by q_embed_neardup (the pruned
+    exactness baseline) and q_semdedup (the composed chain): the
+    cross-validation argument in q_semdedup's docstring holds only
+    while both consume literally the same stage (round-5 review: the
+    block was previously copy-pasted)."""
     from pii_redaction_data_pipeline_spark.operators.similarity import (
         cosine_similarity_col,
     )
@@ -719,12 +747,20 @@ def q_embed_neardup(spark, sf_dir):
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4)
-    return (
+    pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.35)
-        .orderBy("id_a", "id_b")
     )
+    return emb, pairs
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all (a,b) with cosine
+    similarity above threshold (brute-force; the LSH-bucketed scale path
+    is ann_lsh). Dot/norm via F.aggregate/F.zip_with — JVM-side."""
+    _, pairs = _neardup_pairs(spark, sf_dir)
+    return pairs.orderBy("id_a", "id_b")
 
 
 def q_semdedup(spark, sf_dir):
@@ -742,19 +778,8 @@ def q_semdedup(spark, sf_dir):
     from pii_redaction_data_pipeline_spark.operators.components import (
         dedup_representatives,
     )
-    from pii_redaction_data_pipeline_spark.operators.similarity import (
-        cosine_similarity_col,
-    )
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4)
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.35)
-    )
+    emb, pairs = _neardup_pairs(spark, sf_dir)
     return (
         dedup_representatives(emb, pairs, id_col="vec_id")
         .select("vec_id", "component_id", "is_rep")
@@ -1718,10 +1743,7 @@ def q_entities_extract(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     planted = F.concat(
         F.col("text"),
-        F.lit(
-            " reach me: jane.doe@example.com or (555) 123-4567"
-            " ssn 123-45-6789 host 10.0.0."
-        ),
+        F.lit(_PLANT_B),
         (F.col("doc_id") % 250 + 1).cast("string"),
     )
     e = F.explode(make_entities_udf()(planted)).alias("e")
@@ -2191,6 +2213,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Exact ngram-jaccard ground truth (threshold 0.12, doc_id < 200) —
 # shared by ngram_jaccard AND the sketch queries (minhash_lsh/simhash),
 # whose fixture-scale output provably equals this truth set.
+# repeated-span dedup re-derived hash-free: coverage from the gram
+# STRINGS via a per-token index union, rebuild via list comprehension
+# (promoted into the driver contract in round 5)
+_REPEATED_SPAN_SQL = r"""
+        WITH words AS (
+            -- coalesce(NULL, '') mirrors the operator's NULL contract:
+            -- a NULL-text doc yields ('', 1, 1), never a vanished row
+            SELECT doc_id, coalesce(text, '') AS text,
+                   regexp_split_to_array(coalesce(text, ''), '\s+') AS w
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+            WHERE len(w) >= 8),
+        boiler AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2),
+        cover AS (
+            SELECT doc_id, list(ci) AS cov FROM (
+                SELECT DISTINCT x.doc_id, x.pos + j.j AS ci
+                FROM grams x JOIN boiler b USING (g),
+                LATERAL (SELECT unnest(range(0, 8)) AS j) j)
+            GROUP BY doc_id)
+        SELECT w.doc_id,
+            CASE WHEN c.cov IS NULL THEN w.text  -- untouched: byte-identical
+                 ELSE coalesce(array_to_string(
+                    [w.w[i] FOR i IN range(1, len(w.w) + 1)
+                     IF NOT list_contains(c.cov, i - 1)],
+                    ' '), '') END AS text_clean,
+            len(w.w)::BIGINT AS n_tokens,
+            (len(w.w) - coalesce(len(c.cov), 0))::BIGINT AS n_kept
+        FROM words w LEFT JOIN cover c USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
 _NGRAM_TRUTH_SQL = r"""
     WITH norm AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
@@ -2348,10 +2406,7 @@ def _entities_oracle_sql() -> str:
         SSN_RE,
     )
 
-    plant = (
-        "text || ' reach me: jane.doe@example.com or (555) 123-4567"
-        " ssn 123-45-6789 host 10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)"
-    )
+    plant = f"text || '{_PLANT_B}' || CAST(doc_id % 250 + 1 AS VARCHAR)"
     return f"""
         WITH s0 AS (SELECT doc_id, {plant} AS t0 FROM documents),
         s1 AS (SELECT doc_id, t0, regexp_replace(t0, '{EMAIL_RE}', '[REDACTED EMAIL]', 'g') AS t1 FROM s0),
@@ -2375,26 +2430,31 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SQL,
         "transcripts_pipeline": _transcripts_pipeline_oracle(),
     }
-    try:
-        # reads /root/testdata/sf0.01 (the driver's fixed compare scale);
-        # a raised exception here would void EVERY query's correctness
-        # row, so if the corpus is absent the flagship degrades to the
-        # driver's rows-only check instead
-        out["pipeline_documents"] = _pipeline_documents_oracle()
-    except Exception:
-        pass
-    try:
-        # same sf0.01 read + degrade-to-rows-only guard
-        out["ppl_trained"] = _ppl_trained_oracle()
-    except Exception:
-        pass
-    try:
-        # these read (and if absent regenerate) the committed tinydup
-        # fixture; same degrade-to-rows-only guard as above
-        out["conv_neardup"] = _conv_neardup_oracle()
-        out["curate_full"] = _curate_full_oracle()
-    except Exception:
-        pass
+    # These four oracles read the sf0.01 corpus / the tinydup fixture to
+    # derive their VALUES tables. Only a MISSING corpus may degrade them
+    # to the driver's rows-only check (a raised exception here would
+    # void EVERY query's correctness row) — any other error is a bug in
+    # the oracle derivation itself and must surface loudly, not silently
+    # weaken the harness's four strongest whole-pipeline value checks
+    # (round-5 review finding: the old blanket `except Exception: pass`
+    # would swallow e.g. a KeyError from a taxonomy refactor).
+    import duckdb as _duckdb
+
+    def _fixture_oracle(name, fn):
+        try:
+            out[name] = fn()
+        except (FileNotFoundError, OSError, _duckdb.IOException) as e:
+            import sys
+
+            print(
+                f"oracle {name} degraded to rows-only (fixture absent: {e})",
+                file=sys.stderr,
+            )
+
+    _fixture_oracle("pipeline_documents", _pipeline_documents_oracle)
+    _fixture_oracle("ppl_trained", _ppl_trained_oracle)
+    _fixture_oracle("conv_neardup", _conv_neardup_oracle)
+    _fixture_oracle("curate_full", _curate_full_oracle)
     out.update({
         "s2_prefix_scan": """
             SELECT doc_id, source, n_chars FROM documents
@@ -2468,7 +2528,9 @@ def oracle_sql() -> dict[str, str]:
         # optimization, not a semantic), and the rebuild with an
         # order-preserving string_agg
         "line_dedup": """
-            WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            WITH w AS (SELECT doc_id,
+                              str_split(coalesce(text, ''), ' ') AS ws
+                       FROM documents),
             lines AS (
                 SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS ln,
                        array_to_string(ws[i:i+7], ' ') AS line
@@ -2562,7 +2624,7 @@ def oracle_sql() -> dict[str, str]:
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
-                      text || ' reach me: jane.doe@example.com or (555) 123-4567 ssn 123-45-6789 host 10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR),
+                      text || '{_PLANT_B}' || CAST(doc_id % 250 + 1 AS VARCHAR),
                       '{_EMAIL}', '[REDACTED EMAIL]', 'g'),
                     '{_IPV4}', '[REDACTED IP]', 'g'),
                   '{_SSN}', '[REDACTED SSN]', 'g'),
@@ -2618,34 +2680,36 @@ def oracle_sql() -> dict[str, str]:
         "a4_group_category": """
             SELECT category, CAST(sum(n) AS BIGINT) AS total_entities FROM (
                 SELECT 'EMAIL' AS category,
-                       len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                       len(regexp_extract_all(text || '__PLANT_A__',
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n
                 FROM documents
                 UNION ALL
                 SELECT 'SSN',
-                       len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                       len(regexp_extract_all(text || '__PLANT_A__',
                            '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
                 FROM documents
                 UNION ALL
                 SELECT 'PHONE',
-                       len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                       len(regexp_extract_all(text || '__PLANT_A__',
                            '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b'))
                 FROM documents) t
             GROUP BY category ORDER BY category
         """,
         "a3_entity_counts": """
             SELECT doc_id,
-                   len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                   len(regexp_extract_all(text || '__PLANT_A__',
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-                   len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                   len(regexp_extract_all(text || '__PLANT_A__',
                        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
-                   len(regexp_extract_all(text || ' contact a@b.io or (555) 123-4567; backup c.d@e.org ssn 123-45-6789',
+                   len(regexp_extract_all(text || '__PLANT_A__',
                        '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phone
             FROM documents ORDER BY doc_id
         """,
         "token_count": r"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
             FROM documents ORDER BY doc_id
@@ -2839,7 +2903,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _NGRAM_TRUTH_SQL,
         "llm_curation": _LLM_CURATION_SQL,
     })
-    return out
+    # the planted-PII literal is interpolated from the SAME constant the
+    # Spark queries append (placeholder avoids f-stringifying SQL full
+    # of regex braces); editing one side can no longer silently flip the
+    # a3/a4 value checks into guaranteed mismatches
+    return {k: v.replace("__PLANT_A__", _PLANT_A) for k, v in out.items()}
 
 
 # Oracle SQL for the queries pruned from the driver contract across
@@ -2869,37 +2937,7 @@ PRUNED_QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
 }
 
-# repeated-span dedup re-derived hash-free: coverage from the gram
-# STRINGS via a per-token index union, rebuild via list comprehension
-# (promoted into the driver contract in round 5)
-_REPEATED_SPAN_SQL = r"""
-        WITH words AS (
-            SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS w
-            FROM documents),
-        grams AS (
-            SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
-            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
-            WHERE len(w) >= 8),
-        boiler AS (
-            SELECT g FROM grams GROUP BY g
-            HAVING count(DISTINCT doc_id) >= 2),
-        cover AS (
-            SELECT doc_id, list(ci) AS cov FROM (
-                SELECT DISTINCT x.doc_id, x.pos + j.j AS ci
-                FROM grams x JOIN boiler b USING (g),
-                LATERAL (SELECT unnest(range(0, 8)) AS j) j)
-            GROUP BY doc_id)
-        SELECT w.doc_id,
-            CASE WHEN c.cov IS NULL THEN w.text  -- untouched: byte-identical
-                 ELSE coalesce(array_to_string(
-                    [w.w[i] FOR i IN range(1, len(w.w) + 1)
-                     IF NOT list_contains(c.cov, i - 1)],
-                    ' '), '') END AS text_clean,
-            len(w.w)::BIGINT AS n_tokens,
-            (len(w.w) - coalesce(len(c.cov), 0))::BIGINT AS n_kept
-        FROM words w LEFT JOIN cover c USING (doc_id)
-        ORDER BY doc_id
-    """
+
 
 PRUNED_ORACLES = {
     "winnow_fingerprint": _winnow_sql(),
