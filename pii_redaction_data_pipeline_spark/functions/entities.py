@@ -35,8 +35,6 @@ per-row span scan.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
